@@ -1,0 +1,167 @@
+"""Typed configuration for the whole framework.
+
+The reference has no config system: hyperparameters are hardcoded or passed as
+positional ``sys.argv`` (reference tf1_13/tests/test_training.py:7-12,
+tf2_0/src/training.py:175-179). Here every knob lives in one serializable tree
+of frozen dataclasses so runs are reproducible and shardable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(x) for x in obj]
+    return obj
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the neural codec.
+
+    ``preset='base'`` is the reference tf2_0 topology (8x downsample, 32-ch
+    latent, leaky_relu; reference tf2_0/src/encoder.py:7-32, decoder.py:7-32).
+    ``preset='deep'`` is the reference tf1_13 topology (16x downsample, PReLU,
+    two residual stages; reference tf1_13/src/utils.py:39-79).
+    """
+
+    preset: str = "base"                 # 'base' | 'deep'
+    latent_channels: int = 32            # per colour plane
+    leaky_relu_slope: float = 0.2        # TF default alpha (tf.nn.leaky_relu)
+    prelu_init: float = 0.2              # reference tf1_13/src/utils.py:20-21
+    clip_latent: bool = True             # clip latent to [0,1] before quantize
+    compute_dtype: str = "float32"       # 'float32' | 'bfloat16' for conv compute
+
+    @property
+    def downsample(self) -> int:
+        return 16 if self.preset == "deep" else 8
+
+
+@dataclass(frozen=True)
+class EntropyConfig:
+    """Rate model.
+
+    ``kind='factorized'`` (default): Ballé-style fully factorized learned
+    density per latent channel; differentiable bits, and its CDF drives the
+    rANS coder (the reference's PNG/DEFLATE stand-in replaced by a real
+    entropy coder).
+    ``kind='regressor'``: the reference-faithful Entropynet CNN that regresses
+    a scalar bpp (reference tf2_0/src/training.py:25-42).
+    """
+
+    kind: str = "factorized"             # 'factorized' | 'regressor'
+    filters: tuple = (3, 3, 3)           # hidden widths of the factorized chain
+    regressor_target: str = "factorized" # 'factorized' | 'png' (parity mode)
+    tail_mass: float = 1e-9              # probability floor for coding tables
+    cdf_precision: int = 16              # fixed-point bits of the rANS tables
+
+
+@dataclass(frozen=True)
+class QuantizerConfig:
+    levels: int = 256                    # uniform quantization levels on [0,1]
+    surrogate: str = "noise"             # 'noise' (reference) | 'ste' | 'noise+ste'
+    noise_to_rate_model: bool = True     # reference feeds the CLEAN latent to the
+                                         # rate model (tf2_0/src/training.py:90);
+                                         # True fixes that quirk (default).
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64                 # reference tf2_0/src/training.py:179
+    max_epochs: int = 30
+    learning_rate: float = 1e-4          # reference tf2_0/src/training.py:56-58
+    rd_lambda: float = 0.01              # initial rate weight (entropy_loss_coef)
+    rd_lambda_step: float = 0.01         # += per epoch (tf2_0/src/training.py:165)
+    chroma_lambda: float | None = None   # None => same as rd_lambda. The
+                                         # reference hardcodes 0.01 for chroma
+                                         # (tf2_0/src/training.py:119); set it
+                                         # explicitly for faithful mode.
+    distortion: str = "ssim"             # 'ssim' | 'ms_ssim' | 'mse'
+    augment_flips: bool = True           # random H/V flips (training.py:77-78)
+    val_every_steps: int = 100           # reference validates every 10 steps
+    checkpoint_every_steps: int = 500
+    seed: int = 0
+    log_every_steps: int = 50
+    shuffle_buffer: int = 10000
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    train_dir: str = "/root/reference/data/imagenet_patches"
+    val_dir: str = "/root/reference/data/kodak_img"
+    patch_size: int = 128
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh. data-parallel x spatial-tile axes."""
+
+    data: int = 1
+    spatial: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.spatial
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """End-to-end codec settings (compression pipelines)."""
+
+    colorspace: str = "ycbcr"            # 'ycbcr' | 'pca'
+    bitstream: str = "rans"              # 'rans' | 'png' (reference parity mode)
+    tile_size: int = 0                   # 0 = whole image; else spatial tile edge
+    model_id: str = "base-ycbcr-32"
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    entropy: EntropyConfig = field(default_factory=EntropyConfig)
+    quantizer: QuantizerConfig = field(default_factory=QuantizerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    codec: CodecConfig = field(default_factory=CodecConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        return cls(
+            model=ModelConfig(**_tupled(d.get("model", {}))),
+            entropy=EntropyConfig(**_tupled(d.get("entropy", {}))),
+            quantizer=QuantizerConfig(**_tupled(d.get("quantizer", {}))),
+            train=TrainConfig(**_tupled(d.get("train", {}))),
+            data=DataConfig(**_tupled(d.get("data", {}))),
+            mesh=MeshConfig(**_tupled(d.get("mesh", {}))),
+            codec=CodecConfig(**_tupled(d.get("codec", {}))),
+        )
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _tupled(d: dict) -> dict:
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+
+# Reference-faithful preset: reproduces the tf2_0 training semantics
+# (clean latent into the rate model, hardcoded chroma lambda, Entropynet
+# regressor with a PNG bpp target) for parity experiments.
+def reference_faithful() -> Config:
+    return Config(
+        entropy=EntropyConfig(kind="regressor", regressor_target="png"),
+        quantizer=QuantizerConfig(surrogate="noise", noise_to_rate_model=False),
+        train=TrainConfig(chroma_lambda=0.01, val_every_steps=10),
+        codec=CodecConfig(bitstream="png"),
+    )

@@ -1,0 +1,54 @@
+"""Training input pipeline.
+
+The reference loads the entire 19k x 128x128x3 patch set into one RAM ndarray
+and iterates ``tf.data.from_tensor_slices(...).shuffle(10000).batch(64)``
+(reference tf2_0/src/training.py:60). We keep the same in-RAM design (the set
+is ~930 MB as uint8) but make the iterator deterministic-by-seed, epoch-aware,
+and device-put-ahead: batches are transferred to device (sharded over the data
+axis of the mesh when one is provided) while the previous step computes.
+"""
+from __future__ import annotations
+
+import collections
+from typing import Iterator
+
+import jax
+import numpy as np
+
+
+class PatchDataset:
+    """Uniform-shaped uint8 patch set with shuffled batch iteration."""
+
+    def __init__(self, images: np.ndarray, batch_size: int, seed: int = 0,
+                 drop_remainder: bool = True):
+        if images.ndim != 4:
+            raise ValueError(f"expected [N,H,W,C], got {images.shape}")
+        self.images = images
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
+        self.drop_remainder = drop_remainder
+
+    def __len__(self) -> int:
+        n = len(self.images)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def epoch(self, epoch_idx: int) -> Iterator[np.ndarray]:
+        """Deterministic shuffled pass over the data for a given epoch."""
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = rng.permutation(len(self.images))
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self.images[idx]
+
+    def device_epoch(
+        self, epoch_idx: int, sharding=None, prefetch: int = 2
+    ) -> Iterator[jax.Array]:
+        """Epoch iterator that keeps ``prefetch`` batches in flight on device."""
+        queue: collections.deque[jax.Array] = collections.deque()
+        for batch in self.epoch(epoch_idx):
+            queue.append(jax.device_put(batch, sharding))
+            if len(queue) > prefetch:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()

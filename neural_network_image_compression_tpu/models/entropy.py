@@ -1,0 +1,151 @@
+"""Rate models.
+
+Two options, selected by ``config.EntropyConfig.kind``:
+
+- :class:`EntropyRegressor` — capability parity with the reference's
+  ``Entropynet`` (reference tf2_0/src/training.py:25-42): a CNN+MLP that
+  regresses a scalar predicted rate from the latent, clipped to [0,8]. The
+  reference trains it with MSE against a PNG-byte-size proxy and uses its
+  prediction as the differentiable rate term in the R-D loss.
+
+- :class:`FactorizedEntropyModel` — the TPU-native default the reference
+  lacks: a fully factorized learned density (Ballé et al. 2018-style deep
+  monotone CDF per latent channel). It yields (a) a *true* differentiable
+  rate in bits during training and (b) quantized fixed-point CDF tables that
+  drive the rANS coder (coding/), replacing the reference's PNG/DEFLATE
+  stand-in (reference tf2_0/src/utils.py:87).
+
+The factorized model works in centered symbol units u = s - (L-1)/2 with bin
+width 1 (L = quantization levels), so the training noise surrogate and the
+coding tables share the same grid.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIKELIHOOD_FLOOR = 1e-9
+
+
+class EntropyRegressor(nn.Module):
+    """Reference-faithful Entropynet (tf2_0/src/training.py:25-42).
+
+    Input: latent [N,h,w,C]; output: predicted rate [N,1] clipped to [0,8].
+    Note the reference's Dense(512) has no activation; kept as-is.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = lambda v: nn.leaky_relu(v, negative_slope=0.2)
+        x = act(nn.Conv(64, (5, 5), strides=(2, 2), padding="SAME", name="conv1")(x))
+        x = act(nn.Conv(64, (3, 3), strides=(1, 1), padding="SAME", name="conv2")(x))
+        x = act(nn.Conv(64, (3, 3), strides=(1, 1), padding="SAME", name="conv3")(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(512, name="dense1")(x)
+        x = nn.Dense(1, name="dense2")(x)
+        return jnp.clip(x, 0.0, 8.0)
+
+
+class FactorizedEntropyModel(nn.Module):
+    """Fully factorized learned density over quantized latent symbols.
+
+    Each latent channel gets an independent univariate CDF c(u) built from a
+    chain of monotone layers (softplus-positive matrices, tanh gates). All
+    channels evaluate in parallel as batched [C, d_in, d_out] einsums — one
+    fused VPU/MXU pass on TPU rather than C tiny networks.
+    """
+
+    channels: int
+    filters: tuple = (3, 3, 3)
+    levels: int = 256
+    init_scale: float = 128.0  # symbol-unit domain half-width
+
+    def setup(self):
+        dims = (1,) + tuple(self.filters) + (1,)
+        n_layers = len(dims) - 1
+        scale = self.init_scale ** (1.0 / n_layers)
+        matrices, biases, gates = [], [], []
+        for k in range(n_layers):
+            d_in, d_out = dims[k], dims[k + 1]
+            h_init = float(np.log(np.expm1(1.0 / scale / d_out)))
+            matrices.append(
+                self.param(
+                    f"matrix_{k}",
+                    nn.initializers.constant(h_init),
+                    (self.channels, d_in, d_out),
+                    jnp.float32,
+                )
+            )
+            biases.append(
+                self.param(
+                    f"bias_{k}",
+                    nn.initializers.uniform(scale=1.0),
+                    (self.channels, 1, d_out),
+                    jnp.float32,
+                )
+            )
+            if k < n_layers - 1:
+                gates.append(
+                    self.param(
+                        f"gate_{k}",
+                        nn.initializers.zeros,
+                        (self.channels, 1, d_out),
+                        jnp.float32,
+                    )
+                )
+        self._matrices = matrices
+        self._biases = biases
+        self._gates = gates
+
+    def _logits(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Monotone chain. u: [C, M] centered symbol values -> logits [C, M]."""
+        x = u[:, :, None]  # [C, M, 1]
+        n_layers = len(self._matrices)
+        for k in range(n_layers):
+            x = (
+                jnp.einsum("cmi,cio->cmo", x, jax.nn.softplus(self._matrices[k]))
+                + self._biases[k]
+            )
+            if k < n_layers - 1:
+                x = x + jnp.tanh(self._gates[k]) * jnp.tanh(x)
+        return x[:, :, 0]
+
+    def __call__(self, z_sym: jnp.ndarray) -> jnp.ndarray:
+        """Bits per element for (possibly noisy) symbol-grid values.
+
+        z_sym: [..., C] float values on the symbol grid [0, levels-1]
+        (training passes quantizer noise through). Returns [..., C] bits.
+        """
+        center = (self.levels - 1) / 2.0
+        u = jnp.moveaxis(z_sym, -1, 0).reshape(self.channels, -1) - center
+        lower = self._logits(u - 0.5)
+        upper = self._logits(u + 0.5)
+        # Stable CDF difference: evaluate the sigmoid on the side of the
+        # distribution tail with the better-conditioned exponent.
+        sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
+        likelihood = jnp.abs(
+            jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower)
+        )
+        likelihood = jnp.maximum(likelihood, LIKELIHOOD_FLOOR)
+        bits = -jnp.log2(likelihood)
+        bits = bits.reshape((self.channels,) + z_sym.shape[:-1])
+        return jnp.moveaxis(bits, 0, -1)
+
+    def pmf(self) -> jnp.ndarray:
+        """[C, levels] probability mass over all symbols (for coding tables).
+
+        Tail mass beyond the symbol range is folded into the edge symbols so
+        the table sums to 1 and the coder can encode any symbol.
+        """
+        center = (self.levels - 1) / 2.0
+        grid = jnp.arange(self.levels, dtype=jnp.float32) - center
+        u = jnp.broadcast_to(grid[None, :], (self.channels, self.levels))
+        lower = jax.nn.sigmoid(self._logits(u - 0.5))
+        upper = jax.nn.sigmoid(self._logits(u + 0.5))
+        pmf = upper - lower
+        # Fold tails: everything below symbol 0 and above symbol L-1.
+        pmf = pmf.at[:, 0].add(lower[:, 0])
+        pmf = pmf.at[:, -1].add(1.0 - upper[:, -1])
+        return jnp.maximum(pmf, 0.0)
