@@ -1,0 +1,121 @@
+"""Bitstream container format.
+
+The reference's "container" is a PNG file of the packed latent (reference
+tf2_0/src/utils.py:42-43); shapes are implied by the PNG header and everything
+else (model, colorspace, lambda) is implicit. Our container makes those
+explicit (SURVEY.md section 7 capability 7): a small binary header plus one
+independent rANS stream per colour plane per spatial tile — independence is
+what lets a pod slice encode/decode tiles in parallel and gather segments
+with a single collective.
+
+Layout (little-endian):
+    magic   4s   b"NIC1"
+    version u8
+    flags   u8       (bit0: bitstream kind, 0=rans 1=png-parity)
+    model_id        u8 length + utf-8 bytes
+    colorspace      u8 length + utf-8 bytes
+    levels  u16     quantizer levels
+    latent_channels u16  (per plane)
+    orig_h  u32, orig_w u32        original image size (crop target)
+    lat_h   u32, lat_w  u32        full latent spatial size
+    n_planes u8, n_tiles u16
+    per stream (n_planes * n_tiles): u32 byte length
+    stream bytes, concatenated in (tile-major, plane-minor) order
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+MAGIC = b"NIC1"
+VERSION = 1
+
+
+@dataclass
+class ContainerHeader:
+    model_id: str
+    colorspace: str
+    levels: int
+    latent_channels: int
+    orig_h: int
+    orig_w: int
+    lat_h: int
+    lat_w: int
+    n_planes: int = 3
+    n_tiles: int = 1
+    kind: str = "rans"  # 'rans' | 'png'
+
+
+def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
+    if len(streams) != header.n_planes * header.n_tiles:
+        raise ValueError(
+            f"expected {header.n_planes * header.n_tiles} streams, got {len(streams)}"
+        )
+    mid = header.model_id.encode()
+    cs = header.colorspace.encode()
+    flags = 1 if header.kind == "png" else 0
+    parts = [
+        MAGIC,
+        struct.pack("<BB", VERSION, flags),
+        struct.pack("<B", len(mid)), mid,
+        struct.pack("<B", len(cs)), cs,
+        struct.pack(
+            "<HHIIIIBH",
+            header.levels,
+            header.latent_channels,
+            header.orig_h,
+            header.orig_w,
+            header.lat_h,
+            header.lat_w,
+            header.n_planes,
+            header.n_tiles,
+        ),
+    ]
+    parts.extend(struct.pack("<I", len(s)) for s in streams)
+    parts.extend(streams)
+    return b"".join(parts)
+
+
+def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
+    if data[:4] != MAGIC:
+        raise ValueError("not a NIC1 container")
+    pos = 4
+    version, flags = struct.unpack_from("<BB", data, pos)
+    pos += 2
+    if version != VERSION:
+        raise ValueError(f"unsupported container version {version}")
+    (mlen,) = struct.unpack_from("<B", data, pos)
+    pos += 1
+    model_id = data[pos : pos + mlen].decode()
+    pos += mlen
+    (clen,) = struct.unpack_from("<B", data, pos)
+    pos += 1
+    colorspace = data[pos : pos + clen].decode()
+    pos += clen
+    levels, cch, oh, ow, lh, lw, n_planes, n_tiles = struct.unpack_from(
+        "<HHIIIIBH", data, pos
+    )
+    pos += struct.calcsize("<HHIIIIBH")
+    n_streams = n_planes * n_tiles
+    lengths = struct.unpack_from(f"<{n_streams}I", data, pos)
+    pos += 4 * n_streams
+    streams = []
+    for ln in lengths:
+        streams.append(data[pos : pos + ln])
+        pos += ln
+    if pos != len(data):
+        raise ValueError("trailing bytes in container")
+    header = ContainerHeader(
+        model_id=model_id,
+        colorspace=colorspace,
+        levels=levels,
+        latent_channels=cch,
+        orig_h=oh,
+        orig_w=ow,
+        lat_h=lh,
+        lat_w=lw,
+        n_planes=n_planes,
+        n_tiles=n_tiles,
+        kind="png" if flags & 1 else "rans",
+    )
+    return header, streams

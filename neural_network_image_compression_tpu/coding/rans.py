@@ -1,0 +1,187 @@
+"""Python interface to the rANS coder.
+
+Primary path: the C++ implementation (_native/rans.cpp) compiled lazily to a
+shared library and called through ctypes — zero-copy on numpy buffers.
+Fallback / cross-check: a pure-numpy rANS with identical byte output, used by
+tests to pin the C++ implementation and by environments without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_SRC = os.path.join(_NATIVE_DIR, "rans.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "librans.so")
+
+_STATE_LOWER_BOUND = 1 << 23
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.rans_encode.restype = ctypes.c_int64
+        lib.rans_encode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u32p, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.rans_decode.restype = ctypes.c_int64
+        lib.rans_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u32p, ctypes.c_int32, u8p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _check(symbols: np.ndarray, cdf: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarray, int]:
+    flat = np.ascontiguousarray(symbols, np.uint8).reshape(-1)
+    cdf = np.ascontiguousarray(cdf, np.uint32)
+    if cdf.ndim != 2:
+        raise ValueError("cdf must be [C, L+1]")
+    if (cdf[:, -1] != (1 << precision)).any():
+        raise ValueError("cdf[:, -1] must equal 1 << precision")
+    return flat, cdf, cdf.shape[1] - 1
+
+
+def encode(symbols: np.ndarray, cdf: np.ndarray, precision: int = 16) -> bytes:
+    """Encode uint8 symbols (channel of flat index i = i % C) -> bytes."""
+    flat, cdf, levels = _check(symbols, cdf, precision)
+    lib = _load()
+    if lib is None:
+        return encode_py(flat, cdf, precision)
+    cap = flat.size + (flat.size >> 1) + 64
+    out = np.empty(cap, np.uint8)
+    n = lib.rans_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        flat.size,
+        cdf.shape[0],
+        levels,
+        cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        precision,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        # Pathological inputs can exceed the capacity guess; retry roomier.
+        cap = flat.size * 3 + 64
+        out = np.empty(cap, np.uint8)
+        n = lib.rans_encode(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            flat.size,
+            cdf.shape[0],
+            levels,
+            cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            precision,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+        )
+        if n < 0:
+            raise RuntimeError("rans_encode failed")
+    return out[:n].tobytes()
+
+
+def decode(data: bytes, n: int, cdf: np.ndarray, precision: int = 16) -> np.ndarray:
+    """Decode n uint8 symbols from bytes."""
+    cdf = np.ascontiguousarray(cdf, np.uint32)
+    levels = cdf.shape[1] - 1
+    lib = _load()
+    if lib is None:
+        return decode_py(data, n, cdf, precision)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.uint8)
+    r = lib.rans_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        n,
+        cdf.shape[0],
+        levels,
+        cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        precision,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if r != n:
+        raise RuntimeError("rans_decode failed (malformed stream?)")
+    return out
+
+
+# ----------------------------------------------------------- pure-python twin
+
+
+def encode_py(symbols: np.ndarray, cdf: np.ndarray, precision: int = 16) -> bytes:
+    """Reference implementation; byte-identical to the C++ coder."""
+    flat, cdf, _ = _check(symbols, cdf, precision)
+    c = cdf.shape[0]
+    out = bytearray()
+    state = _STATE_LOWER_BOUND
+    for i in range(flat.size - 1, -1, -1):
+        ch = i % c
+        s = int(flat[i])  # int() guards against uint8 overflow in s + 1
+        start = int(cdf[ch, s])
+        freq = int(cdf[ch, s + 1]) - start
+        x_max = ((_STATE_LOWER_BOUND >> precision) << 8) * freq
+        while state >= x_max:
+            out.append(state & 0xFF)
+            state >>= 8
+        state = ((state // freq) << precision) + (state % freq) + start
+    head = bytes(
+        [state & 0xFF, (state >> 8) & 0xFF, (state >> 16) & 0xFF, (state >> 24) & 0xFF]
+    )
+    return head + bytes(reversed(out))
+
+
+def decode_py(data: bytes, n: int, cdf: np.ndarray, precision: int = 16) -> np.ndarray:
+    cdf = np.asarray(cdf, np.uint32)
+    c = cdf.shape[0]
+    mask = (1 << precision) - 1
+    state = int.from_bytes(data[:4], "little")
+    pos = 4
+    out = np.empty(n, np.uint8)
+    # slot -> symbol lookup per channel
+    luts = []
+    for ch in range(c):
+        lut = np.zeros(1 << precision, np.uint8)
+        bounds = cdf[ch]
+        for s in range(cdf.shape[1] - 1):
+            lut[bounds[s] : bounds[s + 1]] = s
+        luts.append(lut)
+    for i in range(n):
+        ch = i % c
+        slot = state & mask
+        s = int(luts[ch][slot])
+        out[i] = s
+        start = int(cdf[ch, s])
+        freq = int(cdf[ch, s + 1]) - start
+        state = freq * (state >> precision) + slot - start
+        while state < _STATE_LOWER_BOUND:
+            state = (state << 8) | data[pos]
+            pos += 1
+    return out

@@ -1,0 +1,138 @@
+import jax
+import numpy as np
+import pytest
+
+from neural_network_image_compression_tpu.coding import (
+    build_tables,
+    compress_image,
+    decode_latent,
+    decompress_image,
+    encode_latent,
+    estimate_bits,
+    pack_container,
+    quantize_pmf,
+    rans,
+    unpack_container,
+)
+from neural_network_image_compression_tpu.coding.container import ContainerHeader
+from neural_network_image_compression_tpu.config import Config
+from neural_network_image_compression_tpu.models import NeuralCodec
+
+
+def _skewed_pmf(rng, c, l):
+    raw = rng.exponential(1.0, (c, l)) ** 3
+    return raw / raw.sum(axis=1, keepdims=True)
+
+
+class TestQuantizePmf:
+    def test_sums_and_floor(self, rng):
+        pmf = _skewed_pmf(rng, 8, 256)
+        cdf = quantize_pmf(pmf, 16)
+        assert cdf.shape == (8, 257)
+        assert (cdf[:, 0] == 0).all()
+        assert (cdf[:, -1] == 1 << 16).all()
+        freqs = np.diff(cdf.astype(np.int64), axis=1)
+        assert freqs.min() >= 1
+
+    def test_deterministic(self, rng):
+        pmf = _skewed_pmf(rng, 4, 256)
+        c1 = quantize_pmf(pmf, 16)
+        c2 = quantize_pmf(pmf.copy(), 16)
+        np.testing.assert_array_equal(c1, c2)
+
+    def test_degenerate_pmf(self):
+        pmf = np.zeros((2, 256))
+        pmf[0, 3] = 1.0  # all mass on one symbol
+        cdf = quantize_pmf(pmf, 16)
+        freqs = np.diff(cdf.astype(np.int64), axis=1)
+        assert freqs.min() >= 1
+        assert (cdf[:, -1] == 1 << 16).all()
+
+
+class TestRans:
+    @pytest.mark.parametrize("n,c", [(0, 1), (1, 1), (1000, 1), (4096, 32), (999, 7)])
+    def test_cpp_round_trip(self, rng, n, c):
+        pmf = _skewed_pmf(rng, c, 256)
+        cdf = quantize_pmf(pmf, 16)
+        # Distribution mismatch is fine here — round-trip must hold for ANY
+        # symbols since every symbol has frequency >= 1.
+        sym = rng.integers(0, 256, n, dtype=np.uint8)
+        blob = rans.encode(sym, cdf)
+        out = rans.decode(blob, n, cdf)
+        np.testing.assert_array_equal(out, sym)
+
+    def test_native_matches_python(self, rng):
+        assert rans.native_available(), "C++ rANS must build in this environment"
+        pmf = _skewed_pmf(rng, 4, 256)
+        cdf = quantize_pmf(pmf, 16)
+        sym = rng.integers(0, 256, 1024, dtype=np.uint8)
+        blob_c = rans.encode(sym, cdf)
+        blob_py = rans.encode_py(sym, cdf)
+        assert blob_c == blob_py
+        np.testing.assert_array_equal(rans.decode_py(blob_c, 1024, cdf), sym)
+
+    def test_size_close_to_entropy(self, rng):
+        pmf = _skewed_pmf(rng, 2, 256)
+        cdf = quantize_pmf(pmf, 16)
+        sym = np.stack(
+            [rng.choice(256, size=20000, p=pmf[0]), rng.choice(256, size=20000, p=pmf[1])],
+            axis=-1,
+        ).reshape(-1).astype(np.uint8)
+        blob = rans.encode(sym, cdf)
+        est_bits = estimate_bits(sym, cdf)
+        actual_bits = 8 * len(blob)
+        # within 1% + the 32-bit state flush
+        assert actual_bits <= est_bits * 1.01 + 64
+        assert actual_bits >= est_bits * 0.99
+
+    def test_uniform_worst_case(self, rng):
+        # near-incompressible data must still round-trip (and not explode)
+        cdf = quantize_pmf(np.full((1, 256), 1 / 256), 16)
+        sym = rng.integers(0, 256, 10000, dtype=np.uint8)
+        blob = rans.encode(sym, cdf)
+        assert len(blob) <= 10000 * 1.05 + 8
+        np.testing.assert_array_equal(rans.decode(blob, 10000, cdf), sym)
+
+
+class TestContainer:
+    def test_round_trip(self):
+        header = ContainerHeader(
+            model_id="base-ycbcr-32", colorspace="ycbcr", levels=256,
+            latent_channels=32, orig_h=512, orig_w=768, lat_h=64, lat_w=96,
+        )
+        streams = [b"abc", b"", b"\x00\xff" * 10]
+        blob = pack_container(header, streams)
+        h2, s2 = unpack_container(blob)
+        assert h2 == header
+        assert s2 == streams
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            unpack_container(b"JUNKxxxxxxx")
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = Config()
+        codec = NeuralCodec(cfg)
+        params = codec.init(jax.random.key(0))
+        tables = build_tables(codec, params)
+        return codec, params, tables
+
+    def test_latent_bit_exact_round_trip(self, setup, rng):
+        codec, params, tables = setup
+        sym = rng.integers(0, 256, (8, 12, 96), dtype=np.uint8)
+        streams = encode_latent(sym, *tables)
+        out = decode_latent(streams, (8, 12), *tables)
+        np.testing.assert_array_equal(out, sym)
+
+    def test_compress_decompress_image(self, setup, rng):
+        codec, params, tables = setup
+        rgb = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+        blob = compress_image(codec, params, rgb, tables)
+        out = decompress_image(codec, params, blob, tables)
+        assert out.shape == rgb.shape and out.dtype == np.uint8
+        # bitstream round-trip must equal the direct forward path exactly
+        direct = np.asarray(codec.forward(params, rgb[None]))[0]
+        np.testing.assert_array_equal(out, direct)
