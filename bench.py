@@ -1,0 +1,165 @@
+"""Benchmark: Kodak-size encode+decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
+
+Metric: full quantized round-trip (analysis -> quantize -> synthesis ->
+RGB) of 768x512 images — the reference's Kodak validation workload
+(reference tf2_0/src/training.py:152-163) — in images/s on one chip.
+
+Baseline: the same "base" topology implemented in torch (CPU eager), the
+closest runnable analogue of the reference's eager TF pipeline on this host
+(the reference publishes no numbers and TF is not installed; BASELINE.md).
+The torch number is measured once and cached in bench_baseline.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+H, W = 512, 768
+BATCH = 8
+ITERS = 20
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from neural_network_image_compression_tpu.config import Config, ModelConfig
+    from neural_network_image_compression_tpu.models import NeuralCodec
+
+    cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0), (H, W))
+    rgb = np.random.default_rng(0).integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8)
+    rgb = jax.device_put(rgb)
+
+    # One dispatch running ITERS forwards via lax.scan, reduced to a scalar
+    # checksum. The per-iteration input perturbation stops XLA hoisting the
+    # loop-invariant forward out of the scan; fetching the scalar (not
+    # block_until_ready, which this platform's async tunnel satisfies at
+    # enqueue time) is what guarantees execution completed.
+    @jax.jit
+    def run(p, x):
+        def body(carry, i):
+            out = codec.forward(p, x + i.astype(jnp.uint8))
+            return carry + out.astype(jnp.float32).mean(), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(ITERS))
+        return total
+
+    float(run(params, rgb))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(params, rgb))
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def measure_torch_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_images_per_s"]
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    act = torch.nn.LeakyReLU(0.2)
+
+    class Enc(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(1, 32, 5, 2, 2)
+            self.c2 = torch.nn.Conv2d(32, 64, 5, 2, 2)
+            self.c3 = torch.nn.Conv2d(64, 64, 3, 1, 1)
+            self.c4 = torch.nn.Conv2d(64, 64, 3, 1, 1)
+            self.c8 = torch.nn.Conv2d(64, 32, 5, 2, 2)
+
+        def forward(self, x):
+            x = act(self.c1(x))
+            x = act(self.c2(x))
+            r = x
+            x = act(self.c3(x))
+            x = act(self.c4(x))
+            x = x + r
+            return torch.clamp(act(self.c8(x)), 0, 1)
+
+    class Dec(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.d1 = torch.nn.ConvTranspose2d(32, 64, 5, 2, 2, output_padding=1)
+            self.d5 = torch.nn.ConvTranspose2d(64, 64, 3, 1, 1)
+            self.d6 = torch.nn.ConvTranspose2d(64, 64, 3, 1, 1)
+            self.d7 = torch.nn.ConvTranspose2d(64, 64, 5, 2, 2, output_padding=1)
+            self.d8 = torch.nn.ConvTranspose2d(64, 1, 5, 2, 2, output_padding=1)
+
+        def forward(self, x):
+            x = act(self.d1(x))
+            r = x
+            x = act(self.d5(x))
+            x = act(self.d6(x))
+            x = x + r
+            x = act(self.d7(x))
+            return torch.clamp(act(self.d8(x)), 0, 1)
+
+    enc_y, enc_c, dec_y, dec_c = Enc(), Enc(), Dec(), Dec()
+    for m in (enc_y, enc_c, dec_y, dec_c):
+        m.eval()
+
+    n = 2  # smaller batch for the slow CPU path; rate is per-image anyway
+    x = torch.rand(n, 3, H, W)
+    kernel = torch.tensor(
+        [[0.299, 0.587, 0.114], [-0.16874, -0.33126, 0.5], [0.5, -0.41869, -0.08131]]
+    )
+    off = torch.tensor([0.0, 0.5, 0.5])
+
+    def run(x):
+        with torch.no_grad():
+            planes = torch.einsum("nchw,kc->nkhw", x, kernel) + off[None, :, None, None]
+            y = planes[:, 0:1]
+            c = torch.cat([planes[:, 1:2], planes[:, 2:3]], dim=0)
+            ly, lc = enc_y(y), enc_c(c)
+            sy = torch.round(ly * 255) / 255
+            sc = torch.round(lc * 255) / 255
+            py, pc = dec_y(sy), dec_c(sc)
+            planes_out = torch.cat([py, pc[:n], pc[n:]], dim=1)
+            rgb = torch.einsum(
+                "nkhw,ck->nchw", planes_out - off[None, :, None, None],
+                torch.linalg.inv(kernel),
+            )
+            return torch.clamp(rgb, 0, 1)
+
+    run(x)  # warm
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run(x)
+    dt = time.perf_counter() - t0
+    rate = n * iters / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_images_per_s": rate, "h": H, "w": W}, f)
+    return rate
+
+
+def main():
+    tpu_rate = measure_tpu()
+    base_rate = measure_torch_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "kodak_768x512_encode_decode_images_per_s_per_chip",
+                "value": round(tpu_rate, 2),
+                "unit": "images/s",
+                "vs_baseline": round(tpu_rate / base_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Command-line entry points.
+
+Replaces the reference's argv-parsed test scripts (reference
+tf1_13/tests/test_training.py, test_encoder.py, test_decoder.py,
+calc_ssim.py) with one typed CLI:
+
+    python -m neural_network_image_compression_tpu train --data DIR --val DIR
+    python -m neural_network_image_compression_tpu compress --input DIR --run RUN_DIR
+    python -m neural_network_image_compression_tpu decompress --input DIR --run RUN_DIR
+    python -m neural_network_image_compression_tpu eval --orig DIR --recon DIR
+    python -m neural_network_image_compression_tpu rd --input DIR --run RUN_DIR
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _load_run(run_dir: str):
+    """(codec, params) from a training run directory's latest checkpoint."""
+    import jax
+
+    from neural_network_image_compression_tpu.config import Config
+    from neural_network_image_compression_tpu.models import NeuralCodec
+    from neural_network_image_compression_tpu.training import CheckpointStore
+    from neural_network_image_compression_tpu.training.train_step import (
+        init_train_state,
+    )
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    codec = NeuralCodec(cfg)
+    store = CheckpointStore(os.path.join(run_dir, "checkpoints"))
+    template = init_train_state(codec, jax.random.key(0), cfg)
+    restored = store.restore(template)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found under {run_dir}/checkpoints")
+    state, _ = restored
+    return codec, jax.device_get(state.params)
+
+
+def _build_config(args) -> "Config":
+    from neural_network_image_compression_tpu.config import (
+        CodecConfig,
+        Config,
+        DataConfig,
+        EntropyConfig,
+        ModelConfig,
+        QuantizerConfig,
+        TrainConfig,
+        reference_faithful,
+    )
+
+    if getattr(args, "reference_faithful", False):
+        cfg = reference_faithful()
+    else:
+        cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            preset=args.preset,
+            compute_dtype=args.compute_dtype,
+        ),
+        data=dataclasses.replace(cfg.data, train_dir=args.data, val_dir=args.val),
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=args.batch_size,
+            max_epochs=args.epochs,
+            rd_lambda=getattr(args, "rd_lambda"),
+            distortion=args.distortion,
+        ),
+        codec=dataclasses.replace(cfg.codec, bitstream=args.bitstream),
+    )
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="neural_network_image_compression_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="rate-distortion training")
+    p_train.add_argument("--data", required=True)
+    p_train.add_argument("--val", default="/root/reference/data/kodak_img")
+    p_train.add_argument("--run-dir", default="runs/default")
+    p_train.add_argument("--epochs", type=int, default=30)
+    p_train.add_argument("--batch-size", type=int, default=64)
+    p_train.add_argument("--rd-lambda", type=float, default=0.01, dest="rd_lambda")
+    p_train.add_argument("--preset", choices=["base", "deep"], default="base")
+    p_train.add_argument("--distortion", choices=["ssim", "ms_ssim", "mse"], default="ssim")
+    p_train.add_argument("--bitstream", choices=["rans", "png"], default="rans")
+    p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
+    p_train.add_argument("--max-steps", type=int, default=None)
+    p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--reference-faithful", action="store_true")
+    p_train.add_argument("--data-parallel", type=int, default=0,
+                         help="shard training over N devices (0 = single device)")
+
+    p_comp = sub.add_parser("compress", help="compress an image directory")
+    p_comp.add_argument("--input", required=True)
+    p_comp.add_argument("--run", required=True, help="training run dir with checkpoints")
+    p_comp.add_argument("--output", default=None)
+
+    p_dec = sub.add_parser("decompress", help="decompress a bitstream directory")
+    p_dec.add_argument("--input", required=True)
+    p_dec.add_argument("--run", required=True)
+    p_dec.add_argument("--output", default=None)
+
+    p_eval = sub.add_parser("eval", help="PSNR/MS-SSIM between two directories")
+    p_eval.add_argument("--orig", required=True)
+    p_eval.add_argument("--recon", required=True)
+
+    p_rd = sub.add_parser("rd", help="rate-distortion point for a directory")
+    p_rd.add_argument("--input", required=True)
+    p_rd.add_argument("--run", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "train":
+        from neural_network_image_compression_tpu.training import Trainer
+
+        cfg = _build_config(args)
+        mesh = None
+        if args.data_parallel:
+            from neural_network_image_compression_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=args.data_parallel)
+        trainer = Trainer(cfg, run_dir=args.run_dir, mesh=mesh)
+        trainer.fit(max_steps=args.max_steps, resume=args.resume)
+        return 0
+
+    if args.cmd == "compress":
+        from neural_network_image_compression_tpu.evaluation import compress_directory
+
+        codec, params = _load_run(args.run)
+        results = compress_directory(codec, params, args.input, args.output)
+        for r in results:
+            print(f"{r.name}\t{r.num_bytes} B\t{r.bpp:.4f} bpp")
+        return 0
+
+    if args.cmd == "decompress":
+        from neural_network_image_compression_tpu.evaluation import decompress_directory
+
+        codec, params = _load_run(args.run)
+        written = decompress_directory(codec, params, args.input, args.output)
+        for path in written:
+            print(path)
+        return 0
+
+    if args.cmd == "eval":
+        from neural_network_image_compression_tpu.evaluation import evaluate_directories
+
+        result = evaluate_directories(args.orig, args.recon)
+        for stem, v in result["per_file"].items():
+            print(f"{stem}\tpsnr {v['psnr']:.2f}\tms-ssim {v['ms_ssim']:.4f}")
+        print(json.dumps({k: v for k, v in result.items() if k != "per_file"}))
+        return 0
+
+    if args.cmd == "rd":
+        from neural_network_image_compression_tpu.evaluation import rd_point
+
+        codec, params = _load_run(args.run)
+        result = rd_point(codec, params, args.input)
+        for r in result["files"]:
+            print(f"{r.name}\t{r.bpp:.4f} bpp\tpsnr {r.psnr:.2f}\tms-ssim {r.ms_ssim:.4f}")
+        print(
+            json.dumps(
+                {k: result[k] for k in ("mean_bpp", "mean_psnr", "mean_ms_ssim")}
+            )
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

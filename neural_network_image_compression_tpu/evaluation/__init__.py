@@ -1,0 +1,6 @@
+from neural_network_image_compression_tpu.evaluation.pipelines import (
+    compress_directory,
+    decompress_directory,
+    evaluate_directories,
+    rd_point,
+)

@@ -73,30 +73,44 @@ class _TransformBase(nn.Module):
 
 
 class AnalysisTransform(_TransformBase):
-    """Image plane [N,H,W,cin] -> latent [N,H/ds,W/ds,latent_channels] in [0,1]."""
+    """Image plane [N,H,W,cin] -> latent [N,H/ds,W/ds,latent_channels] in [0,1].
+
+    ``column_mask`` (optional): callable ``(features, cumulative_stride) ->
+    features`` applied after every stage. Used by the spatial-tiling path
+    (parallel/spatial.py) to re-impose the whole-image SAME-padding zeros at
+    each stage for tiles that sit on a global image edge — without it, zeros
+    in the input halo turn into conv-bias garbage at deeper stages and edge
+    tiles diverge from the whole-image computation.
+    """
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, column_mask=None) -> jnp.ndarray:
+        m = column_mask if column_mask is not None else (lambda v, s: v)
         x = x.astype(_dtype(self.compute_dtype))
         if self.preset == "base":
-            x = self._act(self._conv(32, 5, 2, "conv1")(x), "act1")
-            x = self._act(self._conv(64, 5, 2, "conv2")(x), "act2")
+            x = m(self._act(self._conv(32, 5, 2, "conv1")(x), "act1"), 2)
+            x = m(self._act(self._conv(64, 5, 2, "conv2")(x), "act2"), 4)
             res = x
-            x = self._act(self._conv(64, 3, 1, "conv3")(x), "act3")
-            x = self._act(self._conv(64, 3, 1, "conv4")(x), "act4")
+            x = m(self._act(self._conv(64, 3, 1, "conv3")(x), "act3"), 4)
+            x = m(self._act(self._conv(64, 3, 1, "conv4")(x), "act4"), 4)
             x = x + res
-            x = self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8")
+            x = m(
+                self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8"), 8
+            )
         elif self.preset == "deep":
-            x = self._act(self._conv(32, 5, 2, "conv1")(x), "act1")
-            x = self._act(self._conv(64, 5, 2, "conv2")(x), "act2")
-            res = self._act(self._conv(64, 3, 1, "conv3")(x), "act3")
+            x = m(self._act(self._conv(32, 5, 2, "conv1")(x), "act1"), 2)
+            x = m(self._act(self._conv(64, 5, 2, "conv2")(x), "act2"), 4)
+            res = m(self._act(self._conv(64, 3, 1, "conv3")(x), "act3"), 4)
             res = self._conv(64, 3, 1, "conv4")(res)
-            x = self._act(x + res, "act4")
-            x = self._act(self._conv(64, 5, 2, "conv5")(x), "act5")
-            res = self._act(self._conv(64, 3, 1, "conv6")(x), "act6")
+            x = m(self._act(x + res, "act4"), 4)
+            x = m(self._act(self._conv(64, 5, 2, "conv5")(x), "act5"), 8)
+            res = m(self._act(self._conv(64, 3, 1, "conv6")(x), "act6"), 8)
             res = self._conv(64, 3, 1, "conv7")(res)
-            x = self._act(x + res, "act7")
-            x = self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8")
+            x = m(self._act(x + res, "act7"), 8)
+            x = m(
+                self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8"),
+                16,
+            )
         else:
             raise ValueError(f"unknown preset {self.preset!r}")
         return self._finish(x)
@@ -108,27 +122,33 @@ class SynthesisTransform(_TransformBase):
     out_channels: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, column_mask=None) -> jnp.ndarray:
+        m = column_mask if column_mask is not None else (lambda v, s: v)
         x = x.astype(_dtype(self.compute_dtype))
         if self.preset == "base":
-            x = self._act(self._convT(64, 5, 2, "dconv1")(x), "act1")
+            x = m(self._act(self._convT(64, 5, 2, "dconv1")(x), "act1"), 2)
             res = x
-            x = self._act(self._convT(64, 3, 1, "dconv5")(x), "act5")
-            x = self._act(self._convT(64, 3, 1, "dconv6")(x), "act6")
+            x = m(self._act(self._convT(64, 3, 1, "dconv5")(x), "act5"), 2)
+            x = m(self._act(self._convT(64, 3, 1, "dconv6")(x), "act6"), 2)
             x = x + res
-            x = self._act(self._convT(64, 5, 2, "dconv7")(x), "act7")
-            x = self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8")
+            x = m(self._act(self._convT(64, 5, 2, "dconv7")(x), "act7"), 4)
+            x = m(
+                self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8"), 8
+            )
         elif self.preset == "deep":
-            x = self._act(self._convT(64, 5, 2, "dconv1")(x), "act1")
-            res = self._act(self._conv(64, 3, 1, "dconv2")(x), "act2")
+            x = m(self._act(self._convT(64, 5, 2, "dconv1")(x), "act1"), 2)
+            res = m(self._act(self._conv(64, 3, 1, "dconv2")(x), "act2"), 2)
             res = self._conv(64, 3, 1, "dconv3")(res)
-            x = self._act(x + res, "act3")
-            x = self._act(self._convT(64, 5, 2, "dconv4")(x), "act4")
-            res = self._act(self._conv(64, 3, 1, "dconv5")(x), "act5")
+            x = m(self._act(x + res, "act3"), 2)
+            x = m(self._act(self._convT(64, 5, 2, "dconv4")(x), "act4"), 4)
+            res = m(self._act(self._conv(64, 3, 1, "dconv5")(x), "act5"), 4)
             res = self._conv(64, 3, 1, "dconv6")(res)
-            x = self._act(x + res, "act6")
-            x = self._act(self._convT(64, 5, 2, "dconv7")(x), "act7")
-            x = self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8")
+            x = m(self._act(x + res, "act6"), 4)
+            x = m(self._act(self._convT(64, 5, 2, "dconv7")(x), "act7"), 8)
+            x = m(
+                self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8"),
+                16,
+            )
         else:
             raise ValueError(f"unknown preset {self.preset!r}")
         return self._finish(x)

@@ -84,17 +84,24 @@ class NeuralCodec:
 
     # ------------------------------------------------------- plane transforms
 
-    def encode_planes(self, params: Params, planes: jnp.ndarray) -> jnp.ndarray:
-        """Colour planes [N,H,W,3] float -> latents [N,h,w,3C] float in [0,1]."""
+    def encode_planes(
+        self, params: Params, planes: jnp.ndarray, column_mask=None
+    ) -> jnp.ndarray:
+        """Colour planes [N,H,W,3] float -> latents [N,h,w,3C] float in [0,1].
+
+        ``column_mask`` is forwarded to the transforms for the spatial-tiling
+        path (see models/autoencoder.py)."""
         n = planes.shape[0]
         y = planes[..., 0:1]
         # Stack Cb and Cr along the batch axis: one 2N conv call.
         c = jnp.concatenate([planes[..., 1:2], planes[..., 2:3]], axis=0)
-        lat_y = self.analysis.apply({"params": params["analysis_y"]}, y)
-        lat_c = self.analysis.apply({"params": params["analysis_c"]}, c)
+        lat_y = self.analysis.apply({"params": params["analysis_y"]}, y, column_mask)
+        lat_c = self.analysis.apply({"params": params["analysis_c"]}, c, column_mask)
         return jnp.concatenate([lat_y, lat_c[:n], lat_c[n:]], axis=3)
 
-    def decode_planes(self, params: Params, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode_planes(
+        self, params: Params, latents: jnp.ndarray, column_mask=None
+    ) -> jnp.ndarray:
         """Latents [N,h,w,3C] float -> colour planes [N,H,W,3] float in [0,1]."""
         cch = self.latent_channels
         lat_y = latents[..., :cch]
@@ -102,8 +109,8 @@ class NeuralCodec:
             [latents[..., cch : 2 * cch], latents[..., 2 * cch :]], axis=0
         )
         n = latents.shape[0]
-        pl_y = self.synthesis.apply({"params": params["synthesis_y"]}, lat_y)
-        pl_c = self.synthesis.apply({"params": params["synthesis_c"]}, lat_c)
+        pl_y = self.synthesis.apply({"params": params["synthesis_y"]}, lat_y, column_mask)
+        pl_c = self.synthesis.apply({"params": params["synthesis_c"]}, lat_c, column_mask)
         return jnp.concatenate([pl_y, pl_c[:n], pl_c[n:]], axis=3)
 
     # ------------------------------------------------------------- full paths

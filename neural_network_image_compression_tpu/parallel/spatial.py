@@ -1,0 +1,277 @@
+"""Spatial tile parallelism with halo exchange.
+
+Large-image inference sharded across chips: the image is split into
+width-tiles over the mesh's ``spatial`` axis; each chip encodes its tile
+after receiving a halo of boundary columns from its neighbours via
+``lax.ppermute`` (ICI collective-permute). The result is **identical to the
+whole-image computation** — the halo replaces the SAME-padding zeros that
+would otherwise corrupt interior tile boundaries, and global edges still see
+zeros (ppermute leaves non-received buffers zero), exactly like whole-image
+SAME padding. Tile-count invariance is asserted in tests.
+
+Why this works (receptive-field argument): a latent column depends on at
+most R input columns on each side, where R is the conv stack's receptive
+half-width (base preset: R = 22 input px for analysis). With a halo of
+``halo >= R`` columns of *real* neighbour data (rounded up to a multiple of
+the downsample factor so the stride phase is preserved), every kept latent
+column sees the same window of values as in the whole-image pass, computed by
+the same XLA convolutions — hence bit-identical results per platform.
+
+The reference has no analogue — it always runs whole images on one device
+(reference tf2_0/src/utils.py:30-44); its SAME-padded stride-2 convs
+(tf2_0/src/encoder.py:10-17) are what define the halo widths here.
+SURVEY.md section 2b names this the moral equivalent of context/sequence
+parallelism for the attention-free conv workload.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from neural_network_image_compression_tpu.ops import colorspace as cspace
+from neural_network_image_compression_tpu.ops.quantize import dequantize, quantize
+
+# Analysis receptive half-width in input pixels (base preset: three stride-2
+# 5x5 convs + two 3x3 convs -> R = 22), rounded up to a multiple of the
+# downsample factor 8. The deep preset (four stride-2 stages) needs more.
+ENCODE_HALO = {"base": 24, "deep": 56}
+# Synthesis receptive half-width in latent columns (transposed convs).
+DECODE_HALO = {"base": 4, "deep": 6}
+
+
+def _halo_exchange_w(x: jnp.ndarray, halo: int, axis_name: str, n: int) -> jnp.ndarray:
+    """Concatenate neighbours' boundary columns: [N,H,W,C] -> [N,H,W+2h,C].
+
+    Tiles at the global edges receive zeros (ppermute semantics), matching
+    whole-image SAME zero padding.
+    """
+    if n == 1:
+        zeros = jnp.zeros(x.shape[:2] + (halo,) + x.shape[3:], x.dtype)
+        return jnp.concatenate([zeros, x, zeros], axis=2)
+    # tile i sends its LEFT columns to tile i-1 (they become i-1's right halo)
+    right_halo = jax.lax.ppermute(
+        x[:, :, :halo], axis_name, [(i, i - 1) for i in range(1, n)]
+    )
+    # tile i sends its RIGHT columns to tile i+1 (they become i+1's left halo)
+    left_halo = jax.lax.ppermute(
+        x[:, :, -halo:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    return jnp.concatenate([left_halo, x, right_halo], axis=2)
+
+
+def _edge_mask(axis_name: str, halo: int, local_w: int, global_w: int,
+               upsample: bool):
+    """Per-stage column mask re-imposing whole-image SAME-padding zeros.
+
+    At every transform stage, columns of the halo-extended tile that map
+    beyond the global image boundary must be EXACTLY zero (whole-image SAME
+    padding inserts fresh zeros at each stage; without this, conv bias +
+    activation turn the zero halo into nonzero garbage at depth >= 2 and edge
+    tiles diverge). Interior tiles keep everything (mask all-True) — the same
+    SPMD program runs everywhere, only ``axis_index`` differs.
+    """
+
+    idx = jax.lax.axis_index(axis_name)
+
+    def mask(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+        w = x.shape[2]
+        if upsample:
+            off = (idx * local_w - halo) * scale
+            gmax = global_w * scale
+        else:
+            off = (idx * local_w - halo) // scale
+            gmax = global_w // scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2) + off
+        keep = (cols >= 0) & (cols < gmax)
+        return jnp.where(keep, x, jnp.zeros_like(x))
+
+    return mask
+
+
+def tiled_encode(codec, params, rgb_u8: jnp.ndarray, mesh: Mesh,
+                 halo: int | None = None, valid_w: int | None = None) -> jnp.ndarray:
+    """Whole-image-equivalent encode with the width axis sharded over the
+    mesh's ``spatial`` axis. rgb_u8: [N,H,W,3], W divisible by
+    (spatial * downsample). Returns uint8 symbols [N,h,w,3C] (sharded on w).
+
+    ``valid_w`` (multiple of ds, default W): the logical image width. When the
+    physical array is zero-padded past ``valid_w`` to reach a tile multiple,
+    the per-stage mask treats ``valid_w`` as the global image edge, so columns
+    [0, valid_w/ds) of the result are bit-identical to a whole-image encode of
+    width ``valid_w``; columns beyond are zeros.
+    """
+    ds = codec.downsample
+    if halo is None:
+        halo = ENCODE_HALO[codec.cfg.model.preset]
+    halo = -(-halo // ds) * ds  # round up to stride-phase-preserving multiple
+    n_sp = mesh.shape["spatial"]
+    w = rgb_u8.shape[2]
+    if valid_w is None:
+        valid_w = w
+    if w % (n_sp * ds) or valid_w % ds:
+        raise ValueError(f"width {w} not divisible by spatial*ds = {n_sp * ds}")
+    local_w = w // n_sp
+
+    def fn(p, tile_u8):
+        x = tile_u8.astype(jnp.float32) / 255.0
+        planes = cspace.rgb_to_planes(x, codec.colorspace)
+        # Zero any physical-padding columns beyond valid_w before the exchange.
+        idx = jax.lax.axis_index("spatial")
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, local_w, 1), 2)
+        planes = jnp.where(cols + idx * local_w < valid_w, planes, 0.0)
+        mask = _edge_mask("spatial", halo, local_w, valid_w, upsample=False)
+        ext = _halo_exchange_w(planes, halo, "spatial", n_sp)
+        lat = codec.encode_planes(p, ext, column_mask=mask)
+        crop = halo // ds
+        lat = lat[:, :, crop : lat.shape[2] - crop]
+        return quantize(lat, codec.levels)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, "spatial", None)),
+        out_specs=P(None, None, "spatial", None),
+    )(params, rgb_u8)
+
+
+def tiled_decode(codec, params, sym_u8: jnp.ndarray, mesh: Mesh,
+                 halo: int | None = None, valid_w: int | None = None) -> jnp.ndarray:
+    """Inverse of :func:`tiled_encode`: latent symbols sharded on w ->
+    uint8 RGB sharded on W, identical to the whole-image decode.
+
+    ``valid_w`` is in latent columns (default: full width); symbols past it
+    must be zero-padding and are masked out of the computation."""
+    ds = codec.downsample
+    if halo is None:
+        halo = DECODE_HALO[codec.cfg.model.preset]
+    n_sp = mesh.shape["spatial"]
+    lat_w = sym_u8.shape[2]
+    if valid_w is None:
+        valid_w = lat_w
+    if lat_w % n_sp:
+        raise ValueError("latent width not divisible by spatial axis")
+    local_w = lat_w // n_sp
+
+    def fn(p, tile_sym):
+        lat = dequantize(tile_sym, codec.levels)
+        idx = jax.lax.axis_index("spatial")
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, local_w, 1), 2)
+        lat = jnp.where(cols + idx * local_w < valid_w, lat, 0.0)
+        ext = _halo_exchange_w(lat, halo, "spatial", n_sp)
+        mask = _edge_mask("spatial", halo, local_w, valid_w, upsample=True)
+        planes = codec.decode_planes(p, ext, column_mask=mask)
+        crop = halo * ds
+        planes = planes[:, :, crop : planes.shape[2] - crop]
+        rgb = jnp.clip(cspace.planes_to_rgb(planes, codec.colorspace), 0.0, 1.0)
+        return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, "spatial", None)),
+        out_specs=P(None, None, "spatial", None),
+    )(params, sym_u8)
+
+
+# --------------------------------------------------------------- bitstream
+
+
+def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
+                         tables=None) -> bytes:
+    """Tile-parallel compress of one large image -> one container with
+    ``n_tiles = spatial`` independent per-tile/per-plane rANS streams.
+
+    The latent is produced on-mesh (halo exchange over ICI); the per-tile
+    byte streams are assembled host-side (the coder is a host/C++ component)
+    and gathered into the container — in a real multi-host run each host
+    encodes its local tiles and the container segments are all-gathered.
+    """
+    from neural_network_image_compression_tpu.coding import build_tables
+    from neural_network_image_compression_tpu.coding.codec_stream import encode_latent
+    from neural_network_image_compression_tpu.coding.container import (
+        ContainerHeader,
+        pack_container,
+    )
+
+    if tables is None:
+        tables = build_tables(codec, params)
+    n_sp = mesh.shape["spatial"]
+    ds = codec.downsample
+    h, w = rgb_u8.shape[:2]
+    # Reflect-pad to the ds multiple exactly like the whole-image path
+    # (models/codec.py _pad), then ZERO-pad to the tile multiple; valid_w
+    # masking keeps the result bit-identical to the whole-image encode.
+    pad_h = (-h) % ds
+    valid_w = w + ((-w) % ds)
+    reflect = np.pad(
+        rgb_u8, ((0, pad_h), (0, valid_w - w), (0, 0)), mode="reflect"
+    )
+    tile_pad = (-valid_w) % (n_sp * ds)
+    padded = np.pad(reflect, ((0, 0), (0, tile_pad), (0, 0)))
+    sym = np.asarray(
+        tiled_encode(codec, params, jnp.asarray(padded[None]), mesh, valid_w=valid_w)
+    )[0]
+    lat_h = sym.shape[0]
+    lat_w = valid_w // ds  # logical latent width (zeros beyond are dropped)
+    tile_w = sym.shape[1] // n_sp
+    precision = codec.cfg.entropy.cdf_precision
+    streams = []
+    for t in range(n_sp):
+        lo = t * tile_w
+        hi = min((t + 1) * tile_w, lat_w)
+        if hi <= lo:
+            streams.extend([b"", b"", b""])
+            continue
+        tile = np.ascontiguousarray(sym[:, lo:hi])
+        streams.extend(encode_latent(tile, *tables, precision))
+    header = ContainerHeader(
+        model_id=codec.cfg.codec.model_id,
+        colorspace=codec.colorspace.name,
+        levels=codec.levels,
+        latent_channels=codec.latent_channels,
+        orig_h=h,
+        orig_w=w,
+        lat_h=lat_h,
+        lat_w=lat_w,
+        n_tiles=n_sp,
+    )
+    return pack_container(header, streams)
+
+
+def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
+                           tables=None) -> np.ndarray:
+    """Tile-parallel inverse of :func:`compress_image_tiled`."""
+    from neural_network_image_compression_tpu.coding import build_tables
+    from neural_network_image_compression_tpu.coding.codec_stream import decode_latent
+    from neural_network_image_compression_tpu.coding.container import unpack_container
+
+    if tables is None:
+        tables = build_tables(codec, params)
+    header, streams = unpack_container(data)
+    n_sp = header.n_tiles
+    ds = codec.downsample
+    lat_w = header.lat_w
+    padded_lat_w = -(-lat_w // n_sp) * n_sp
+    tile_w = padded_lat_w // n_sp
+    tiles = []
+    for t in range(n_sp):
+        lo = t * tile_w
+        hi = min((t + 1) * tile_w, lat_w)
+        if hi <= lo:
+            break
+        tiles.append(
+            decode_latent(
+                streams[3 * t : 3 * t + 3],
+                (header.lat_h, hi - lo),
+                *tables,
+                codec.cfg.entropy.cdf_precision,
+            )
+        )
+    sym = np.concatenate(tiles, axis=1)
+    sym = np.pad(sym, ((0, 0), (0, padded_lat_w - lat_w), (0, 0)))
+    rgb = np.asarray(
+        tiled_decode(codec, params, jnp.asarray(sym[None]), mesh, valid_w=lat_w)
+    )[0]
+    return rgb[: header.orig_h, : header.orig_w]

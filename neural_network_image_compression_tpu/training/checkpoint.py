@@ -1,0 +1,86 @@
+"""Checkpointing: params + optimizer state + step + lambda, with resume.
+
+The reference's checkpointing is 4 bare weight files with no optimizer state
+or step cursor in tf2_0 (tf2_0/src/training.py:167-172) and a full
+tf.train.Saver + a side-car epoch file in tf1_13 (tf1_13/src/training.py:
+156-172). Here one Orbax checkpoint carries the whole TrainState (so resume
+is exact, Adam moments included), and ``export_params`` writes a deploy-only
+params checkpoint (the tf1_13 "encoder/decoder only" Savers' role).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from neural_network_image_compression_tpu.training.train_step import TrainState
+
+
+class CheckpointStore:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, state: TrainState, epoch: int) -> None:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rd_lambda": state.rd_lambda,
+            "epoch": np.asarray(epoch, np.int32),
+        }
+        self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, template_state: TrainState) -> tuple[TrainState, int] | None:
+        """Restore the latest checkpoint into the template's structure.
+        Returns (state, epoch) or None if no checkpoint exists."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "step": template_state.step,
+            "rd_lambda": template_state.rd_lambda,
+            "epoch": np.asarray(0, np.int32),
+        }
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+        payload = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        state = TrainState(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            step=payload["step"],
+            rd_lambda=payload["rd_lambda"],
+        )
+        return state, int(payload["epoch"])
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def export_params(params: Any, directory: str) -> None:
+    """Deploy-only export: just the model params (no optimizer state)."""
+    path = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "params"), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(template_params: Any, directory: str) -> Any:
+    path = os.path.join(os.path.abspath(directory), "params")
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_params)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, abstract)

@@ -1,0 +1,219 @@
+"""Rate-distortion training step — one jitted XLA program.
+
+Semantics map to the reference tf2_0 eager loop (tf2_0/src/training.py:72-149)
+but restructured TPU-first:
+
+- The reference runs 3 GradientTapes + 3 Adam optimizers over disjoint
+  variable sets (Y codec, CbCr codec, entropy net). Adam is per-parameter, so
+  a SINGLE optimizer over one combined loss with disjoint parameter groups
+  produces identical updates — and compiles to one fused program instead of
+  three backward passes.
+- Chroma is batched [Cb;Cr] along the batch axis (the reference does this for
+  training too, tf2_0/src/training.py:84-85).
+- Rate term: default is the factorized entropy model's differentiable bits
+  (true rate, trains end-to-end). The reference-faithful mode instead uses
+  the Entropynet regressor's *prediction* in the R-D loss and trains the
+  regressor against a bpp target (PNG host-callback proxy, or the factorized
+  bits) with the reference's exact gradient-flow structure: main losses do
+  not update regressor params, the regressor MSE does not update the encoder
+  (reference tf2_0/src/training.py:135-149).
+- The uniform-noise quantization surrogate goes to the decoder; the rate
+  model sees the noisy latent by default (``noise_to_rate_model=True``, the
+  statistically correct choice) or the clean latent to mirror the reference's
+  quirk (tf2_0/src/training.py:90-95).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neural_network_image_compression_tpu.config import Config
+from neural_network_image_compression_tpu.models.codec import NeuralCodec
+from neural_network_image_compression_tpu.models.entropy import FactorizedEntropyModel
+from neural_network_image_compression_tpu.ops import colorspace as cspace
+from neural_network_image_compression_tpu.ops import metrics as M
+from neural_network_image_compression_tpu.ops.quantize import ste_round
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray        # int32 scalar
+    rd_lambda: jnp.ndarray   # float32 scalar (annealed per epoch)
+
+
+def init_train_state(codec: NeuralCodec, rng: jax.Array, cfg: Config) -> TrainState:
+    params = codec.init(rng, (cfg.data.patch_size, cfg.data.patch_size))
+    tx = optax.adam(cfg.train.learning_rate)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rd_lambda=jnp.asarray(cfg.train.rd_lambda, jnp.float32),
+    )
+
+
+def _random_flips(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Per-image random horizontal/vertical flips (reference
+    tf2_0/src/training.py:77-78)."""
+    kh, kv = jax.random.split(key)
+    flip_h = jax.random.bernoulli(kh, 0.5, (x.shape[0], 1, 1, 1))
+    flip_v = jax.random.bernoulli(kv, 0.5, (x.shape[0], 1, 1, 1))
+    x = jnp.where(flip_h, x[:, :, ::-1, :], x)
+    return jnp.where(flip_v, x[:, ::-1, :, :], x)
+
+
+def _distortion(cfg: Config, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-image distortion loss term. a, b: [N,H,W,1] planes in [0,1]."""
+    kind = cfg.train.distortion
+    if kind == "ssim":
+        return (1.0 - M.ssim(a, b)) / 2.0  # reference tf2_0/src/training.py:109
+    if kind == "ms_ssim":
+        # Auto-truncate scales so 11-px windows fit the patch at every level
+        # (the full 5-scale stack needs >=176 px; training patches are 128).
+        n_scales = 1
+        min_hw = min(a.shape[1], a.shape[2])
+        while n_scales < 5 and min_hw // (2**n_scales) >= 11:
+            n_scales += 1
+        pf = M._MS_SSIM_POWER_FACTORS[:n_scales]
+        return (1.0 - M.ms_ssim(a, b, power_factors=pf)) / 2.0
+    if kind == "mse":
+        return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    raise ValueError(f"unknown distortion {kind!r}")
+
+
+def _surrogate(cfg: Config, latent: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    kind = cfg.quantizer.surrogate
+    levels = cfg.quantizer.levels
+    if kind == "noise":
+        noise = jax.random.uniform(key, latent.shape, minval=-0.5, maxval=0.5)
+        return jnp.clip(latent + noise / (levels - 1), 0.0, 1.0)
+    if kind == "ste":
+        return ste_round(latent, levels)
+    if kind == "noise+ste":
+        # noise for the rate path handled separately; decoder sees STE
+        return ste_round(latent, levels)
+    raise ValueError(f"unknown surrogate {kind!r}")
+
+
+def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
+    """Returns train_step(state, batch_u8, key) -> (state, metrics_dict)."""
+    tx = optax.adam(cfg.train.learning_rate)
+    cs = codec.colorspace
+    factorized = isinstance(codec.entropy_y, FactorizedEntropyModel)
+    levels = cfg.quantizer.levels
+    cch = codec.latent_channels
+
+    def loss_fn(params, batch_u8, key, rd_lambda):
+        n = batch_u8.shape[0]
+        hw_pixels = batch_u8.shape[1] * batch_u8.shape[2]
+        k_aug, k_noise_y, k_noise_c, k_rate = jax.random.split(key, 4)
+
+        x = batch_u8.astype(jnp.float32) / 255.0
+        if cfg.train.augment_flips:
+            x = _random_flips(x, k_aug)
+        planes = cspace.rgb_to_planes(x, cs)
+        plane_y = planes[..., 0:1]
+        plane_c = jnp.concatenate([planes[..., 1:2], planes[..., 2:3]], axis=0)
+
+        lat_y = codec.analysis.apply({"params": params["analysis_y"]}, plane_y)
+        lat_c = codec.analysis.apply({"params": params["analysis_c"]}, plane_c)
+
+        noisy_y = _surrogate(cfg, lat_y, k_noise_y)
+        noisy_c = _surrogate(cfg, lat_c, k_noise_c)
+
+        dec_y = codec.synthesis.apply({"params": params["synthesis_y"]}, noisy_y)
+        dec_c = codec.synthesis.apply({"params": params["synthesis_c"]}, noisy_c)
+
+        d_y = _distortion(cfg, plane_y, dec_y)          # [N]
+        d_c = _distortion(cfg, plane_c, dec_c)          # [2N]
+
+        # ----- rate term ------------------------------------------------
+        if cfg.quantizer.noise_to_rate_model:
+            kr_y, kr_c = jax.random.split(k_rate)
+            z_y = lat_y * (levels - 1) + jax.random.uniform(
+                kr_y, lat_y.shape, minval=-0.5, maxval=0.5
+            )
+            z_c = lat_c * (levels - 1) + jax.random.uniform(
+                kr_c, lat_c.shape, minval=-0.5, maxval=0.5
+            )
+        else:
+            z_y = lat_y * (levels - 1)
+            z_c = lat_c * (levels - 1)
+
+        aux_loss = jnp.zeros(())
+        if factorized:
+            bits_y = codec.entropy_y.apply({"params": params["entropy_y"]}, z_y)
+            bits_c = codec.entropy_c.apply({"params": params["entropy_c"]}, z_c)
+            bpp_y = jnp.sum(bits_y, axis=(1, 2, 3)) / hw_pixels       # [N]
+            bpp_c = jnp.sum(bits_c, axis=(1, 2, 3)) / hw_pixels       # [2N]
+            rate_y, rate_c = bpp_y, bpp_c
+        else:
+            # Reference-faithful Entropynet path. Main loss uses predictions
+            # with regressor params frozen; regressor trains on MSE with the
+            # encoder frozen (reference's two-tape structure).
+            from neural_network_image_compression_tpu.ops.png_proxy import png_bpp
+
+            lat_all = jnp.concatenate([lat_y, lat_c], axis=0)
+            frozen = jax.lax.stop_gradient(params["entropy_y"])
+            pred_main = codec.entropy_y.apply({"params": frozen}, lat_all)  # [3N,1]
+            rate_y = pred_main[:n, 0]
+            rate_c = pred_main[n:, 0]
+            pred_aux = codec.entropy_y.apply(
+                {"params": params["entropy_y"]}, jax.lax.stop_gradient(lat_all)
+            )
+            if cfg.entropy.regressor_target == "png":
+                target = png_bpp(jax.lax.stop_gradient(lat_all), hw_pixels)
+            else:
+                raise ValueError(
+                    "regressor mode requires regressor_target='png' "
+                    "(no factorized model present to provide bits)"
+                )
+            aux_loss = jnp.mean((pred_aux - target) ** 2)
+            bpp_y, bpp_c = target[:n, 0], target[n:, 0]
+
+        chroma_lambda = (
+            cfg.train.chroma_lambda
+            if cfg.train.chroma_lambda is not None
+            else rd_lambda
+        )
+        loss_y = jnp.mean(d_y) + rd_lambda * jnp.mean(rate_y)
+        loss_c = jnp.mean(d_c) + chroma_lambda * jnp.mean(rate_c)
+        total = loss_y + loss_c + aux_loss
+
+        metrics = {
+            "loss": total,
+            "loss_y": loss_y,
+            "loss_c": loss_c,
+            "aux_loss": aux_loss,
+            "distortion_y": jnp.mean(d_y),
+            "distortion_c": jnp.mean(d_c),
+            "bpp_y": jnp.mean(bpp_y),
+            "bpp_cb": jnp.mean(bpp_c[:n]),
+            "bpp_cr": jnp.mean(bpp_c[n:]),
+        }
+        if cfg.train.distortion == "ssim":
+            metrics["ssim_y"] = 1.0 - 2.0 * jnp.mean(d_y)
+            metrics["ssim_cb"] = 1.0 - 2.0 * jnp.mean(d_c[:n])
+            metrics["ssim_cr"] = 1.0 - 2.0 * jnp.mean(d_c[n:])
+        return total, metrics
+
+    def train_step(state: TrainState, batch_u8: jnp.ndarray, key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch_u8, key, state.rd_lambda
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rd_lambda=state.rd_lambda,
+        )
+        return new_state, metrics
+
+    return train_step

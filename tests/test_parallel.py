@@ -1,0 +1,106 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (see conftest.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_network_image_compression_tpu.config import Config, DataConfig, TrainConfig
+from neural_network_image_compression_tpu.models import NeuralCodec
+from neural_network_image_compression_tpu.parallel import (
+    compress_image_tiled,
+    decompress_image_tiled,
+    make_mesh,
+    replicate,
+    shard_batch,
+    tiled_decode,
+    tiled_encode,
+)
+from neural_network_image_compression_tpu.training import init_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def codec_and_params():
+    cfg = Config()
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0))
+    return codec, params
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=2, spatial=4)
+    assert mesh.shape == {"data": 2, "spatial": 4}
+    assert make_mesh(data=8).shape == {"data": 8, "spatial": 1}
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4])
+def test_tiled_encode_matches_whole_image(codec_and_params, rng, n_spatial):
+    codec, params = codec_and_params
+    mesh = make_mesh(data=1, spatial=n_spatial)
+    rgb = rng.integers(0, 256, (1, 64, 64 * n_spatial, 3), dtype=np.uint8)
+    whole = np.asarray(codec.encode(params, rgb))
+    tiled = np.asarray(tiled_encode(codec, params, jnp.asarray(rgb), mesh))
+    assert tiled.shape == whole.shape
+    # Same values, same conv windows -> at most float-assoc differences that
+    # could flip a x.5 rounding boundary; require exact symbol equality.
+    mismatch = int((tiled != whole).sum())
+    assert mismatch == 0, f"{mismatch} latent symbols differ from whole-image path"
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4])
+def test_tiled_decode_matches_whole_image(codec_and_params, rng, n_spatial):
+    codec, params = codec_and_params
+    mesh = make_mesh(data=1, spatial=n_spatial)
+    sym = rng.integers(0, 256, (1, 8, 8 * n_spatial, 96), dtype=np.uint8)
+    whole = np.asarray(codec.decode(params, sym))
+    tiled = np.asarray(tiled_decode(codec, params, jnp.asarray(sym), mesh))
+    mismatch = int((tiled != whole).sum())
+    assert mismatch == 0, f"{mismatch} pixels differ from whole-image path"
+
+
+def test_tiled_bitstream_round_trip(codec_and_params, rng):
+    codec, params = codec_and_params
+    mesh = make_mesh(data=1, spatial=4)
+    rgb = rng.integers(0, 256, (48, 200, 3), dtype=np.uint8)  # non-divisible W
+    blob = compress_image_tiled(codec, params, rgb, mesh)
+    out = decompress_image_tiled(codec, params, blob, mesh)
+    assert out.shape == rgb.shape
+    # must equal the single-device bitstream path's reconstruction
+    from neural_network_image_compression_tpu.coding import (
+        compress_image,
+        decompress_image,
+    )
+
+    ref = decompress_image(codec, params, compress_image(codec, params, rgb))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_data_parallel_step_matches_single_device(rng):
+    cfg = Config(
+        data=DataConfig(patch_size=16),
+        train=TrainConfig(batch_size=8, augment_flips=False),
+    )
+    codec = NeuralCodec(cfg)
+    batch = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    key = jax.random.key(5)
+
+    state_single = init_train_state(codec, jax.random.key(0), cfg)
+    step_single = jax.jit(make_train_step(codec, cfg))
+    s1, m1 = step_single(state_single, batch, key)
+
+    mesh = make_mesh(data=8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    state_dp = jax.device_put(init_train_state(codec, jax.random.key(0), cfg), repl)
+    step_dp = jax.jit(
+        make_train_step(codec, cfg),
+        in_shardings=(repl, NamedSharding(mesh, P("data")), repl),
+        out_shardings=(repl, repl),
+    )
+    s2, m2 = step_dp(state_dp, shard_batch(batch, mesh), key)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -1,0 +1,122 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from neural_network_image_compression_tpu.config import (
+    Config,
+    DataConfig,
+    EntropyConfig,
+    QuantizerConfig,
+    TrainConfig,
+)
+from neural_network_image_compression_tpu.models import NeuralCodec
+from neural_network_image_compression_tpu.training import (
+    CheckpointStore,
+    Trainer,
+    init_train_state,
+    make_train_step,
+)
+
+
+def _tiny_cfg(**train_overrides):
+    train = dict(
+        batch_size=4,
+        max_epochs=2,
+        val_every_steps=0,
+        checkpoint_every_steps=0,
+        log_every_steps=10_000,
+        distortion="ssim",
+    )
+    train.update(train_overrides)
+    return Config(
+        data=DataConfig(patch_size=16),
+        train=TrainConfig(**train),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_images():
+    rng = np.random.default_rng(42)
+    # Smooth-ish images so SSIM has structure to latch onto.
+    base = rng.random((8, 16, 16, 3)).astype(np.float32)
+    return (base * 255).astype(np.uint8)
+
+
+def test_train_step_runs_and_updates(tiny_images):
+    cfg = _tiny_cfg()
+    codec = NeuralCodec(cfg)
+    state = init_train_state(codec, jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(codec, cfg))
+    new_state, metrics = step(state, tiny_images[:4], jax.random.key(1))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params must actually move
+    before = jax.tree_util.tree_leaves(state.params)
+    after = jax.tree_util.tree_leaves(new_state.params)
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(after, before))
+
+
+def test_loss_decreases_over_steps(tiny_images):
+    cfg = _tiny_cfg()
+    codec = NeuralCodec(cfg)
+    state = init_train_state(codec, jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(codec, cfg))
+    key = jax.random.key(2)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, tiny_images[:4], sub)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_trainer_fit_and_resume(tiny_images, tmp_path):
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    state = trainer.fit(train_images=tiny_images, max_steps=3)
+    assert int(state.step) == 3
+    assert os.path.exists(tmp_path / "run" / "config.json")
+    # resume continues from the stored step
+    trainer2 = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    state2 = trainer2.fit(train_images=tiny_images, max_steps=2, resume=True)
+    assert int(state2.step) == 5
+
+
+def test_checkpoint_round_trip(tiny_images, tmp_path):
+    cfg = _tiny_cfg()
+    codec = NeuralCodec(cfg)
+    state = init_train_state(codec, jax.random.key(0), cfg)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.save(state, epoch=7)
+    template = init_train_state(codec, jax.random.key(3), cfg)
+    restored, epoch = store.restore(template)
+    assert epoch == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_faithful_regressor_step(tiny_images):
+    """Entropynet + PNG-target mode (reference tf2_0 semantics) must run and
+    produce finite losses through the host callback."""
+    cfg = Config(
+        data=DataConfig(patch_size=16),
+        train=TrainConfig(
+            batch_size=2, chroma_lambda=0.01, val_every_steps=0,
+            checkpoint_every_steps=0, log_every_steps=10_000,
+        ),
+        entropy=EntropyConfig(kind="regressor", regressor_target="png"),
+        quantizer=QuantizerConfig(surrogate="noise", noise_to_rate_model=False),
+    )
+    codec = NeuralCodec(cfg)
+    state = init_train_state(codec, jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(codec, cfg))
+    new_state, metrics = step(state, tiny_images[:2], jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["aux_loss"]))
+    assert float(metrics["bpp_y"]) > 0  # PNG proxy produced a real rate
