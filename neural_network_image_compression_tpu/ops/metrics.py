@@ -35,18 +35,26 @@ def _gaussian_window(filter_size: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_blur(x: jnp.ndarray, win: np.ndarray) -> jnp.ndarray:
-    """Separable depthwise VALID convolution with a 1D window along H then W."""
+    """Separable depthwise VALID convolution with a 1D window along H then W.
+
+    precision=HIGHEST: on TPU the default conv precision rounds through
+    bfloat16, which makes the moment estimates E[x^2] - mu^2 go negative by
+    more than the c2 stabilizer on near-constant planes (chroma!), flipping
+    the SSIM denominator sign -> inf. These blurs are a negligible share of
+    the step's FLOPs, so full precision costs nothing measurable."""
     c = x.shape[-1]
     k = win.shape[0]
     wh = jnp.asarray(win).reshape(k, 1, 1, 1) * jnp.ones((1, 1, 1, c), jnp.float32)
     ww = jnp.asarray(win).reshape(1, k, 1, 1) * jnp.ones((1, 1, 1, c), jnp.float32)
     dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, wh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, wh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, c), ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
-        x, ww, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, ww, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -69,8 +77,10 @@ def _ssim_lcs(
     mu_aa = mu_a * mu_a
     mu_bb = mu_b * mu_b
     mu_ab = mu_a * mu_b
-    sigma_aa = _depthwise_blur(a * a, win) - mu_aa
-    sigma_bb = _depthwise_blur(b * b, win) - mu_bb
+    # Clamp the variance estimates: they are mathematically >= 0 but float
+    # rounding can dip them negative, and the denominators must stay > 0.
+    sigma_aa = jnp.maximum(_depthwise_blur(a * a, win) - mu_aa, 0.0)
+    sigma_bb = jnp.maximum(_depthwise_blur(b * b, win) - mu_bb, 0.0)
     sigma_ab = _depthwise_blur(a * b, win) - mu_ab
 
     luminance = (2.0 * mu_ab + c1) / (mu_aa + mu_bb + c1)

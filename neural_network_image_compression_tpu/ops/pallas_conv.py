@@ -1,0 +1,311 @@
+"""Pallas TPU kernels for the codec's hot conv path.
+
+Design: ONE core kernel — a fused 3x3 VALID stride-1 convolution with
+bias + leaky_relu + optional residual + optional clip epilogue — and cheap
+XLA-side data rearrangements that map every layer of the reference topology
+onto it (reference tf2_0/src/encoder.py:10-17, decoder.py:10-17):
+
+- 3x3/s1 SAME conv:        pad 1          -> core kernel
+- 5x5/s2 SAME conv:        space-to-depth -> 3x3/s1 conv over 4C channels.
+  This is the key TPU trick: C=32/64 inputs become 128/256 channels, filling
+  the MXU's 128-wide contraction lanes instead of leaving them 25-75% idle.
+- 3x3/s1 SAME conv-transpose: identical operator to the 3x3 SAME conv
+  (verified against lax.conv_transpose: for stride 1 the dilation is a no-op
+  and XLA's transpose uses the kernel unflipped in correlation form).
+- 5x5/s2 SAME conv-transpose: phase decomposition — each output-pixel parity
+  phase (p,q) in {0,1}^2 is a 3x3 VALID conv with the weight subset
+  w[2d+3-p, 2e+3-q]; all four phases fuse into one kernel call with 4*Cout
+  output channels, interleaved afterwards. No zero-stuffed dilated input, no
+  overlap-add — pure dense MXU work.
+
+The kernel itself: grid over (batch, row-tiles); the input stays in HBM and
+row stripes are DMA'd into VMEM (double-buffered across the sequential TPU
+grid), the 9 taps accumulate as [TH*W, C] @ [C, Cout] MXU matmuls in f32,
+the epilogue runs on the VPU, and the output tile is DMA'd back to HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8  # output rows per grid step
+
+
+def _epilogue(y, b, slope, res, add_before_act, clip):
+    y = y + b
+    if res is not None and add_before_act:
+        y = y + res
+    if slope is not None:
+        y = jnp.where(y >= 0, y, slope * y)
+    if res is not None and not add_before_act:
+        y = y + res
+    if clip:
+        y = jnp.clip(y, 0.0, 1.0)
+    return y
+
+
+def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
+                 acc_dtype=jnp.float32):
+    kh, kw, cin, _ = w_shape
+
+    def kernel(x_any, w_v, b_v, *rest):
+        if has_res:
+            res_any, out_any, stripe, rtile, otile, sem_in, sem_res, sem_out = rest
+        else:
+            out_any, stripe, otile, sem_in, sem_out = rest
+            res_any = rtile = sem_res = None
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+
+        cp_in = pltpu.make_async_copy(
+            x_any.at[n, pl.ds(t * TH, TH + kh - 1)], stripe, sem_in
+        )
+        cp_in.start()
+        if has_res:
+            cp_res = pltpu.make_async_copy(
+                res_any.at[n, pl.ds(t * TH, TH)], rtile, sem_res
+            )
+            cp_res.start()
+        cp_in.wait()
+
+        sv = stripe[:]
+        acc = jnp.zeros((TH * out_w, cout), acc_dtype)
+        for ky in range(kh):
+            for kx in range(kw):
+                patch = sv[ky : ky + TH, kx : kx + out_w, :].reshape(TH * out_w, cin)
+                acc = acc + jnp.dot(
+                    patch, w_v[ky, kx], preferred_element_type=acc_dtype
+                )
+        res_val = None
+        if has_res:
+            cp_res.wait()
+            res_val = rtile[:].reshape(TH * out_w, cout).astype(acc_dtype)
+        y = _epilogue(acc, b_v[0], slope, res_val, add_before_act, clip)
+        otile[:] = y.reshape(TH, out_w, cout).astype(otile.dtype)
+        cp_out = pltpu.make_async_copy(
+            otile, out_any.at[n, pl.ds(t * TH, TH)], sem_out
+        )
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slope", "add_before_act", "clip", "interpret"),
+)
+def conv3x3_valid_fused(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    residual: jnp.ndarray | None = None,
+    *,
+    slope: float | None = 0.2,
+    add_before_act: bool = False,
+    clip: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [N, H+kh-1, W+kw-1, C] (pre-padded), w [kh,kw,C,Cout], b [Cout]
+    -> [N, H, W, Cout] with fused epilogue. H is padded up to a TH multiple
+    internally."""
+    n, hp, wp, cin = x.shape
+    kh, kw, _, cout = w.shape
+    h = hp - (kh - 1)
+    out_w = wp - (kw - 1)
+    h_pad = (-h) % TH
+    if h_pad:
+        x = jnp.pad(x, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
+    h_tiles = (h + h_pad) // TH
+
+    # Mosaic DMA alignment: lane (minor) dims must be 128-aligned and
+    # sublane (W) extents 8-aligned. Pad channels and widths with zeros —
+    # zero weight rows/cols keep the math identical — and slice back after.
+    out_w8 = -(-out_w // 8) * 8
+    wp8 = -(-(out_w8 + kw - 1) // 8) * 8
+    if wp8 != wp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp8 - wp), (0, 0)))
+    if residual is not None and residual.shape[2] != out_w8:
+        residual = jnp.pad(
+            residual, ((0, 0), (0, 0), (0, out_w8 - residual.shape[2]), (0, 0))
+        )
+    cin_pad = (-cin) % 128
+    cout_pad = (-cout) % 128
+    if cin_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+    if cout_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
+        b = jnp.pad(b, (0, cout_pad))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
+    cin_k = cin + cin_pad
+    cout_k = cout + cout_pad
+
+    has_res = residual is not None
+    kernel = _make_kernel(
+        w.shape, out_w8, cout_k, slope, has_res, add_before_act, clip
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # x (HBM, manual DMA)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+    ]
+    operands = [x, w, b.reshape(1, cout_k)]
+    scratch = [
+        pltpu.VMEM((TH + kh - 1, wp8, cin_k), x.dtype),
+        pltpu.VMEM((TH, out_w8, cout_k), x.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if has_res:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(residual)
+        scratch.insert(1, pltpu.VMEM((TH, out_w8, cout_k), x.dtype))
+        scratch.insert(3, pltpu.SemaphoreType.DMA)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, h_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n, h + h_pad, out_w8, cout_k), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :h, :out_w, :cout]
+
+
+# ------------------------------------------------------- layer-level wrappers
+
+
+def _space_to_depth_for_5x5s2(x: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
+    """Pad for SAME 5x5/s2 and rearrange 2x2 pixel blocks into channels.
+    Returns (x4 [N, H_out+2, W_out+2, 4C], h_out, w_out)."""
+    n, h, w, c = x.shape
+    h_out, w_out = -(-h // 2), -(-w // 2)
+    # SAME for k=5,s=2 pads 1 before; stripe must reach row 2*(h_out+1)+1.
+    x = jnp.pad(x, ((0, 0), (1, 2 * h_out + 3 - h), (1, 2 * w_out + 3 - w), (0, 0)))
+    n_, hp, wp, _ = x.shape
+    x = x.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+    return x, h_out, w_out
+
+
+def _weights_5x5s2_to_3x3(w: jnp.ndarray) -> jnp.ndarray:
+    """[5,5,C,Cout] -> [3,3,4C,Cout] matching the space-to-depth layout."""
+    _, _, c, cout = w.shape
+    w3 = jnp.zeros((3, 3, 2, 2, c, cout), w.dtype)
+    for a in range(3):
+        for dy in range(2):
+            if 2 * a + dy > 4:
+                continue
+            for bq in range(3):
+                for dx in range(2):
+                    if 2 * bq + dx > 4:
+                        continue
+                    w3 = w3.at[a, bq, dy, dx].set(w[2 * a + dy, 2 * bq + dx])
+    return w3.reshape(3, 3, 4 * c, cout)
+
+
+def conv5x5_s2_fused(x, w, b, *, slope=0.2, clip=False, interpret=False):
+    """SAME 5x5 stride-2 conv + epilogue via space-to-depth + core kernel."""
+    x4, h_out, w_out = _space_to_depth_for_5x5s2(x)
+    w3 = _weights_5x5s2_to_3x3(w)
+    out = conv3x3_valid_fused(
+        x4, w3, b, slope=slope, clip=clip, interpret=interpret
+    )
+    return out[:, :h_out, :w_out]
+
+
+def conv3x3_s1_fused(x, w, b, residual=None, *, slope=0.2,
+                     add_before_act=False, clip=False, interpret=False):
+    """SAME 3x3 stride-1 conv + epilogue (also: SAME 3x3/s1 conv-transpose,
+    which is the identical operator)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return conv3x3_valid_fused(
+        xp, w, b, residual,
+        slope=slope, add_before_act=add_before_act, clip=clip,
+        interpret=interpret,
+    )
+
+
+def _weights_convT5x5s2_phases(w: jnp.ndarray) -> jnp.ndarray:
+    """[5,5,C,Cout] -> [3,3,C,4*Cout] phase kernels.
+
+    lax.conv_transpose(SAME, k=5, s=2) satisfies (verified empirically):
+      out[2j+p, 2l+q] = sum_{d,e in -1..1} x[j+d, l+e] * w[2d+3-p, 2e+3-q]
+    with out-of-range taps zero. Phase (p,q) output channel block pq."""
+    _, _, c, cout = w.shape
+    wp = jnp.zeros((3, 3, c, 2, 2, cout), w.dtype)
+    for d in range(-1, 2):
+        for e in range(-1, 2):
+            for p in range(2):
+                for q in range(2):
+                    iy, ix = 2 * d + 3 - p, 2 * e + 3 - q
+                    if 0 <= iy < 5 and 0 <= ix < 5:
+                        wp = wp.at[d + 1, e + 1, :, p, q].set(w[iy, ix])
+    return wp.reshape(3, 3, c, 4 * cout)
+
+
+def conv_transpose5x5_s2_fused(x, w, b, *, slope=0.2, clip=False,
+                               interpret=False):
+    """SAME 5x5 stride-2 conv-transpose + epilogue via phase decomposition.
+    x [N,h,w,C] -> [N,2h,2w,Cout]."""
+    n, h, wd, c = x.shape
+    cout = w.shape[3]
+    wp = _weights_convT5x5s2_phases(w)
+    bp = jnp.tile(b, 4)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ph = conv3x3_valid_fused(
+        xp, wp, bp, slope=slope, clip=clip, interpret=interpret
+    )  # [N, h, w, 4*Cout], channel blocks are (p, q)
+    ph = ph.reshape(n, h, wd, 2, 2, cout)
+    out = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, cout)
+    return out
+
+
+# ----------------------------------------------- full transform (base preset)
+
+
+def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=False):
+    """Pallas twin of AnalysisTransform(preset='base').apply — same params
+    pytree (flax naming), same outputs to float tolerance."""
+    g = lambda name: (params[name]["kernel"], params[name]["bias"])
+    x = conv5x5_s2_fused(x, *g("conv1"), slope=slope, interpret=interpret)
+    x = conv5x5_s2_fused(x, *g("conv2"), slope=slope, interpret=interpret)
+    res = x
+    x = conv3x3_s1_fused(x, *g("conv3"), slope=slope, interpret=interpret)
+    # conv4: act then add residual (reference order: x = act(conv4(x)) + res)
+    x = conv3x3_s1_fused(
+        x, *g("conv4"), residual=res, slope=slope, add_before_act=False,
+        interpret=interpret,
+    )
+    x = conv5x5_s2_fused(x, *g("conv8"), slope=slope, clip=clip, interpret=interpret)
+    return x
+
+
+def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=False):
+    """Pallas twin of SynthesisTransform(preset='base').apply."""
+    g = lambda name: (params[name]["kernel"], params[name]["bias"])
+    x = conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=slope, interpret=interpret)
+    res = x
+    x = conv3x3_s1_fused(x, *g("dconv5"), slope=slope, interpret=interpret)
+    x = conv3x3_s1_fused(
+        x, *g("dconv6"), residual=res, slope=slope, add_before_act=False,
+        interpret=interpret,
+    )
+    x = conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=slope, interpret=interpret)
+    x = conv_transpose5x5_s2_fused(
+        x, *g("dconv8"), slope=slope, clip=clip, interpret=interpret
+    )
+    return x

@@ -31,6 +31,22 @@ from neural_network_image_compression_tpu.training.train_step import (
 )
 
 
+def _cached_dataset(train_dir: str) -> np.ndarray:
+    """Load a uniform-shape patch directory, memoized as one .npy next to it
+    is not possible (read-only reference data), so cached under ~/.cache.
+    19k PIL decodes take minutes; the cache loads in seconds."""
+    cache_dir = os.path.expanduser("~/.cache/nnic_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = train_dir.strip("/").replace("/", "_")
+    cache = os.path.join(cache_dir, f"{tag}.npy")
+    if os.path.exists(cache):
+        return np.load(cache, mmap_mode="r")
+    images, _ = read_dataset(train_dir)
+    if isinstance(images, np.ndarray):
+        np.save(cache, images)
+    return images
+
+
 class Trainer:
     def __init__(
         self,
@@ -90,7 +106,7 @@ class Trainer:
     ) -> TrainState:
         cfg = self.cfg
         if train_images is None:
-            train_images, _ = read_dataset(cfg.data.train_dir)
+            train_images = _cached_dataset(cfg.data.train_dir)
         dataset = PatchDataset(train_images, cfg.train.batch_size, cfg.train.seed)
 
         state = self.init_state()
@@ -106,6 +122,9 @@ class Trainer:
         key = jax.random.key(cfg.train.seed + 1)
         t0 = time.time()
         steps_done = 0
+        # Track the step on the host: int(state.step) would force a device
+        # sync every iteration and stall the dispatch pipeline.
+        step = int(state.step)
         for epoch in range(start_epoch, cfg.train.max_epochs):
             state = state._replace(
                 rd_lambda=jnp.asarray(
@@ -117,7 +136,7 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 state, metrics = self.train_step(state, batch, sub)
                 steps_done += 1
-                step = int(state.step)
+                step += 1
                 if step % cfg.train.log_every_steps == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(

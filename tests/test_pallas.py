@@ -1,0 +1,112 @@
+"""Pallas kernel parity tests (interpret mode on CPU; real execution is
+exercised on TPU by benchmarks/pallas_bench.py)."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_network_image_compression_tpu.models import (
+    AnalysisTransform,
+    FactorizedEntropyModel,
+    SynthesisTransform,
+)
+from neural_network_image_compression_tpu.ops import pallas_conv as pc
+from neural_network_image_compression_tpu.ops.pallas_entropy import (
+    factorized_bits_pallas,
+)
+
+
+def test_core_kernel_matches_lax(rng):
+    x = jnp.asarray(rng.standard_normal((2, 18, 20, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+    out = pc.conv3x3_valid_fused(x, w, b, slope=0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_residual_epilogue_orders(rng):
+    x = jnp.asarray(rng.standard_normal((1, 10, 10, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32) * 0.1)
+    b = jnp.zeros((8,))
+    res = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
+    conv = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    act = lambda v: jnp.where(v >= 0, v, 0.2 * v)
+    # after-act residual (reference base preset: x = act(conv(x)) + res)
+    out = pc.conv3x3_valid_fused(
+        x, w, b, res, slope=0.2, add_before_act=False, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(act(conv) + res), atol=1e-5)
+    # before-act residual (reference deep preset: x = act(conv + res))
+    out2 = pc.conv3x3_valid_fused(
+        x, w, b, res, slope=0.2, add_before_act=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(act(conv + res)), atol=1e-5)
+
+
+def test_conv5x5_s2_matches_flax(rng):
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 3)).astype(np.float32))
+    conv = nn.Conv(8, (5, 5), strides=(2, 2), padding="SAME")
+    p = conv.init(jax.random.key(0), x)["params"]
+    ref = nn.leaky_relu(conv.apply({"params": p}, x), negative_slope=0.2)
+    out = pc.conv5x5_s2_fused(x, p["kernel"], p["bias"], slope=0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_conv_transpose5x5_s2_matches_flax(rng):
+    x = jnp.asarray(rng.standard_normal((1, 10, 12, 6)).astype(np.float32))
+    convt = nn.ConvTranspose(4, (5, 5), strides=(2, 2), padding="SAME")
+    p = convt.init(jax.random.key(1), x)["params"]
+    ref = nn.leaky_relu(convt.apply({"params": p}, x), negative_slope=0.2)
+    out = pc.conv_transpose5x5_s2_fused(
+        x, p["kernel"], p["bias"], slope=0.2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_analysis_base_parity(rng):
+    x = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+    ana = AnalysisTransform(preset="base")
+    p = ana.init(jax.random.key(0), x)["params"]
+    ref = ana.apply({"params": p}, x)
+    out = pc.pallas_analysis_base(p, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_synthesis_base_parity(rng):
+    lat = jnp.asarray(rng.random((1, 8, 8, 32)).astype(np.float32))
+    syn = SynthesisTransform(preset="base")
+    p = syn.init(jax.random.key(1), lat)["params"]
+    ref = syn.apply({"params": p}, lat)
+    out = pc.pallas_synthesis_base(p, lat, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_quantization_boundary_consistency(rng):
+    """Pallas and XLA paths must quantize to the same symbols (the float
+    tolerance must not flip rounded values — SURVEY.md hard part 3)."""
+    from neural_network_image_compression_tpu.ops.quantize import quantize
+
+    x = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+    ana = AnalysisTransform(preset="base")
+    p = ana.init(jax.random.key(2), x)["params"]
+    sym_ref = np.asarray(quantize(ana.apply({"params": p}, x)))
+    sym_pal = np.asarray(quantize(pc.pallas_analysis_base(p, x, interpret=True)))
+    mismatch = (sym_ref != sym_pal).mean()
+    assert mismatch < 2e-3, f"{mismatch:.4%} of symbols flipped"
+
+
+def test_factorized_bits_pallas_parity(rng):
+    model = FactorizedEntropyModel(channels=32)
+    z = jnp.asarray(rng.random((2, 6, 7, 32)).astype(np.float32) * 255)
+    params = model.init(jax.random.key(0), z)["params"]
+    ref = model.apply({"params": params}, z)
+    out = factorized_bits_pallas(z, params, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
