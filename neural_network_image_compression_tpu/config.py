@@ -37,6 +37,8 @@ class ModelConfig:
     prelu_init: float = 0.2              # reference tf1_13/src/utils.py:20-21
     clip_latent: bool = True             # clip latent to [0,1] before quantize
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16' for conv compute
+    backend: str = "xla"                 # 'xla' | 'pallas' (inference conv path;
+                                         # pallas covers the 'base' preset)
 
     @property
     def downsample(self) -> int:
@@ -89,6 +91,12 @@ class TrainConfig:
     seed: int = 0
     log_every_steps: int = 50
     shuffle_buffer: int = 10000
+    # Quality-gated checkpointing (reference tf1_13/src/training.py:213-215:
+    # refuse to persist a degenerate model). None disables a gate.
+    gate_max_entropy: float | None = None    # bits/symbol of rounded latent
+    gate_min_ms_ssim: float | None = None    # validation MS-SSIM floor
+    profile_dir: str | None = None           # jax.profiler trace output
+    val_artifacts: bool = True               # dump side-by-side + latent viz
 
 
 @dataclass(frozen=True)

@@ -95,9 +95,41 @@ class NeuralCodec:
         y = planes[..., 0:1]
         # Stack Cb and Cr along the batch axis: one 2N conv call.
         c = jnp.concatenate([planes[..., 1:2], planes[..., 2:3]], axis=0)
-        lat_y = self.analysis.apply({"params": params["analysis_y"]}, y, column_mask)
-        lat_c = self.analysis.apply({"params": params["analysis_c"]}, c, column_mask)
+        lat_y = self._apply_analysis(params["analysis_y"], y, column_mask)
+        lat_c = self._apply_analysis(params["analysis_c"], c, column_mask)
         return jnp.concatenate([lat_y, lat_c[:n], lat_c[n:]], axis=3)
+
+    def _apply_analysis(self, p, x, column_mask=None):
+        if (
+            self.cfg.model.backend == "pallas"
+            and column_mask is None
+            and self.cfg.model.preset == "base"
+        ):
+            from neural_network_image_compression_tpu.ops.pallas_conv import (
+                pallas_analysis_base,
+            )
+
+            return pallas_analysis_base(
+                p, x,
+                slope=self.cfg.model.leaky_relu_slope,
+                clip=self.cfg.model.clip_latent,
+            )
+        return self.analysis.apply({"params": p}, x, column_mask)
+
+    def _apply_synthesis(self, p, x, column_mask=None):
+        if (
+            self.cfg.model.backend == "pallas"
+            and column_mask is None
+            and self.cfg.model.preset == "base"
+        ):
+            from neural_network_image_compression_tpu.ops.pallas_conv import (
+                pallas_synthesis_base,
+            )
+
+            return pallas_synthesis_base(
+                p, x, slope=self.cfg.model.leaky_relu_slope, clip=True
+            )
+        return self.synthesis.apply({"params": p}, x, column_mask)
 
     def decode_planes(
         self, params: Params, latents: jnp.ndarray, column_mask=None
@@ -109,8 +141,8 @@ class NeuralCodec:
             [latents[..., cch : 2 * cch], latents[..., 2 * cch :]], axis=0
         )
         n = latents.shape[0]
-        pl_y = self.synthesis.apply({"params": params["synthesis_y"]}, lat_y, column_mask)
-        pl_c = self.synthesis.apply({"params": params["synthesis_c"]}, lat_c, column_mask)
+        pl_y = self._apply_synthesis(params["synthesis_y"], lat_y, column_mask)
+        pl_c = self._apply_synthesis(params["synthesis_c"], lat_c, column_mask)
         return jnp.concatenate([pl_y, pl_c[:n], pl_c[n:]], axis=3)
 
     # ------------------------------------------------------------- full paths

@@ -37,6 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 TH = 8  # output rows per grid step
 
 
+def _auto_interpret(flag):
+    """None -> interpret on CPU (no Mosaic there), compiled elsewhere."""
+    if flag is None:
+        return jax.default_backend() == "cpu"
+    return flag
+
+
+
 def _epilogue(y, b, slope, res, add_before_act, clip):
     y = y + b
     if res is not None and add_before_act:
@@ -217,8 +225,9 @@ def _weights_5x5s2_to_3x3(w: jnp.ndarray) -> jnp.ndarray:
     return w3.reshape(3, 3, 4 * c, cout)
 
 
-def conv5x5_s2_fused(x, w, b, *, slope=0.2, clip=False, interpret=False):
+def conv5x5_s2_fused(x, w, b, *, slope=0.2, clip=False, interpret=None):
     """SAME 5x5 stride-2 conv + epilogue via space-to-depth + core kernel."""
+    interpret = _auto_interpret(interpret)
     x4, h_out, w_out = _space_to_depth_for_5x5s2(x)
     w3 = _weights_5x5s2_to_3x3(w)
     out = conv3x3_valid_fused(
@@ -228,9 +237,10 @@ def conv5x5_s2_fused(x, w, b, *, slope=0.2, clip=False, interpret=False):
 
 
 def conv3x3_s1_fused(x, w, b, residual=None, *, slope=0.2,
-                     add_before_act=False, clip=False, interpret=False):
+                     add_before_act=False, clip=False, interpret=None):
     """SAME 3x3 stride-1 conv + epilogue (also: SAME 3x3/s1 conv-transpose,
     which is the identical operator)."""
+    interpret = _auto_interpret(interpret)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return conv3x3_valid_fused(
         xp, w, b, residual,
@@ -258,9 +268,10 @@ def _weights_convT5x5s2_phases(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv_transpose5x5_s2_fused(x, w, b, *, slope=0.2, clip=False,
-                               interpret=False):
+                               interpret=None):
     """SAME 5x5 stride-2 conv-transpose + epilogue via phase decomposition.
     x [N,h,w,C] -> [N,2h,2w,Cout]."""
+    interpret = _auto_interpret(interpret)
     n, h, wd, c = x.shape
     cout = w.shape[3]
     wp = _weights_convT5x5s2_phases(w)
@@ -277,7 +288,7 @@ def conv_transpose5x5_s2_fused(x, w, b, *, slope=0.2, clip=False,
 # ----------------------------------------------- full transform (base preset)
 
 
-def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=False):
+def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=None):
     """Pallas twin of AnalysisTransform(preset='base').apply — same params
     pytree (flax naming), same outputs to float tolerance."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
@@ -294,7 +305,7 @@ def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=False):
     return x
 
 
-def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=False):
+def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None):
     """Pallas twin of SynthesisTransform(preset='base').apply."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
     x = conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=slope, interpret=interpret)

@@ -134,7 +134,13 @@ class Trainer:
             )
             for batch in dataset.device_epoch(epoch, self.batch_sharding):
                 key, sub = jax.random.split(key)
+                # Profile a short window once compilation has settled.
+                if cfg.train.profile_dir and steps_done == 10:
+                    jax.profiler.start_trace(cfg.train.profile_dir)
                 state, metrics = self.train_step(state, batch, sub)
+                if cfg.train.profile_dir and steps_done == 15:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
                 steps_done += 1
                 step += 1
                 if step % cfg.train.log_every_steps == 0:
@@ -152,17 +158,50 @@ class Trainer:
                         flush=True,
                     )
                 if cfg.train.val_every_steps and step % cfg.train.val_every_steps == 0:
-                    self.validate(state, step=step, epoch=epoch)
+                    self._last_val = self.validate(state, step=step, epoch=epoch)
                 if (
                     cfg.train.checkpoint_every_steps
                     and step % cfg.train.checkpoint_every_steps == 0
                 ):
-                    self.store.save(state, epoch)
+                    self._gated_save(state, epoch)
                 if max_steps is not None and steps_done >= max_steps:
                     self.store.save(state, epoch)
                     return state
-            self.store.save(state, epoch + 1)
+            self._gated_save(state, epoch + 1)
         return state
+
+    def _gated_save(self, state: TrainState, epoch: int) -> bool:
+        """Checkpoint unless a quality gate rejects the current model
+        (reference tf1_13/src/training.py:213-215: only save while the
+        latent entropy and reconstruction quality are sane)."""
+        cfg = self.cfg
+        if cfg.train.gate_min_ms_ssim is not None:
+            val = getattr(self, "_last_val", None)
+            if val is not None and val["mean_ms_ssim"] < cfg.train.gate_min_ms_ssim:
+                self._log({"kind": "gate_reject", "reason": "ms_ssim",
+                           "value": val["mean_ms_ssim"], "step": int(state.step)})
+                return False
+        if cfg.train.gate_max_entropy is not None:
+            from neural_network_image_compression_tpu.data.io import load_image
+            from neural_network_image_compression_tpu.data.io import list_images
+            from neural_network_image_compression_tpu.ops.quantize import dequantize
+            from neural_network_image_compression_tpu.utils.diagnostics import (
+                discrete_entropy,
+            )
+            import os as _os
+
+            names = list_images(cfg.data.val_dir)
+            if names:
+                img = load_image(_os.path.join(cfg.data.val_dir, names[0]))
+                params = jax.device_get(state.params)
+                sym = self.codec.encode(params, img[None])
+                ent = float(discrete_entropy(dequantize(sym))[0])
+                if ent > cfg.train.gate_max_entropy:
+                    self._log({"kind": "gate_reject", "reason": "entropy",
+                               "value": ent, "step": int(state.step)})
+                    return False
+        self.store.save(state, epoch)
+        return True
 
     # -------------------------------------------------------------- validate
 
@@ -181,9 +220,40 @@ class Trainer:
             "mean_ms_ssim": result["mean_ms_ssim"],
         }
         self._log(record)
+        if self.cfg.train.val_artifacts:
+            self._dump_val_artifacts(params, step)
         print(
             f"[val] step {step}: bpp {result['mean_bpp']:.4f} "
             f"psnr {result['mean_psnr']:.2f} ms-ssim {result['mean_ms_ssim']:.4f}",
             flush=True,
         )
         return result
+
+    def _dump_val_artifacts(self, params, step: int) -> None:
+        """Latent visualization + side-by-side comparison for the first
+        validation image (reference tf2_0/src/models.py:246-262)."""
+        import numpy as _np
+
+        from neural_network_image_compression_tpu.data.io import (
+            list_images,
+            load_image,
+            save_png,
+        )
+        from neural_network_image_compression_tpu.utils.diagnostics import (
+            latent_visualization,
+            side_by_side,
+        )
+
+        names = list_images(self.cfg.data.val_dir)
+        if not names:
+            return
+        img = load_image(os.path.join(self.cfg.data.val_dir, names[0]))
+        sym = _np.asarray(self.codec.encode(params, img[None]))[0]
+        recon = _np.asarray(
+            self.codec.decode(params, sym[None], out_hw=img.shape[:2])
+        )[0]
+        art_dir = os.path.join(self.run_dir, "val_artifacts")
+        save_png(latent_visualization(sym), os.path.join(art_dir, "val_encoded.png"),
+                 optimize=False)
+        save_png(side_by_side(img, recon),
+                 os.path.join(art_dir, "val_comparison.png"), optimize=False)
