@@ -70,7 +70,8 @@ def _build_config(args) -> "Config":
             cfg.train,
             batch_size=args.batch_size,
             max_epochs=args.epochs,
-            rd_lambda=getattr(args, "rd_lambda"),
+            rd_lambda=args.rd_lambda,
+            rd_lambda_step=args.rd_lambda_step,
             distortion=args.distortion,
         ),
         codec=dataclasses.replace(cfg.codec, bitstream=args.bitstream),
@@ -89,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--epochs", type=int, default=30)
     p_train.add_argument("--batch-size", type=int, default=64)
     p_train.add_argument("--rd-lambda", type=float, default=0.01, dest="rd_lambda")
+    p_train.add_argument("--rd-lambda-step", type=float, default=0.01,
+                         dest="rd_lambda_step",
+                         help="lambda increment per epoch (0 = fixed lambda)")
     p_train.add_argument("--preset", choices=["base", "deep"], default="base")
     p_train.add_argument("--distortion", choices=["ssim", "ms_ssim", "mse"], default="ssim")
     p_train.add_argument("--bitstream", choices=["rans", "png"], default="rans")
@@ -116,6 +120,17 @@ def main(argv: list[str] | None = None) -> int:
     p_rd = sub.add_parser("rd", help="rate-distortion point for a directory")
     p_rd.add_argument("--input", required=True)
     p_rd.add_argument("--run", required=True)
+
+    p_anchor = sub.add_parser("anchors", help="JPEG/PNG classical R-D anchors")
+    p_anchor.add_argument("--input", required=True)
+    p_anchor.add_argument("--qualities", default="10,25,50,75,90")
+
+    p_build = sub.add_parser("build-data", help="build a training patch set")
+    p_build.add_argument("--source", required=True)
+    p_build.add_argument("--output", required=True)
+    p_build.add_argument("--patch-size", type=int, default=128)
+    p_build.add_argument("--limit", type=int, default=None)
+    p_build.add_argument("--workers", type=int, default=12)
 
     args = parser.parse_args(argv)
 
@@ -171,6 +186,27 @@ def main(argv: list[str] | None = None) -> int:
                 {k: result[k] for k in ("mean_bpp", "mean_psnr", "mean_ms_ssim")}
             )
         )
+        return 0
+
+    if args.cmd == "anchors":
+        from neural_network_image_compression_tpu.evaluation.anchors import (
+            jpeg_rd_curve,
+            png_rate,
+        )
+
+        qualities = tuple(int(q) for q in args.qualities.split(","))
+        for point in jpeg_rd_curve(args.input, qualities) + [png_rate(args.input)]:
+            print(json.dumps(point))
+        return 0
+
+    if args.cmd == "build-data":
+        from neural_network_image_compression_tpu.data.builder import build_patches
+
+        n = build_patches(
+            args.source, args.output, patch_size=args.patch_size,
+            limit=args.limit, workers=args.workers,
+        )
+        print(f"wrote {n} patches to {args.output}")
         return 0
 
     return 1

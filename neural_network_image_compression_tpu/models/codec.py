@@ -100,35 +100,27 @@ class NeuralCodec:
         return jnp.concatenate([lat_y, lat_c[:n], lat_c[n:]], axis=3)
 
     def _apply_analysis(self, p, x, column_mask=None):
-        if (
-            self.cfg.model.backend == "pallas"
-            and column_mask is None
-            and self.cfg.model.preset == "base"
-        ):
-            from neural_network_image_compression_tpu.ops.pallas_conv import (
-                pallas_analysis_base,
-            )
+        if self.cfg.model.backend == "pallas" and column_mask is None:
+            from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
-            return pallas_analysis_base(
-                p, x,
-                slope=self.cfg.model.leaky_relu_slope,
-                clip=self.cfg.model.clip_latent,
-            )
+            if self.cfg.model.preset == "base":
+                return pc.pallas_analysis_base(
+                    p, x,
+                    slope=self.cfg.model.leaky_relu_slope,
+                    clip=self.cfg.model.clip_latent,
+                )
+            return pc.pallas_analysis_deep(p, x, clip=self.cfg.model.clip_latent)
         return self.analysis.apply({"params": p}, x, column_mask)
 
     def _apply_synthesis(self, p, x, column_mask=None):
-        if (
-            self.cfg.model.backend == "pallas"
-            and column_mask is None
-            and self.cfg.model.preset == "base"
-        ):
-            from neural_network_image_compression_tpu.ops.pallas_conv import (
-                pallas_synthesis_base,
-            )
+        if self.cfg.model.backend == "pallas" and column_mask is None:
+            from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
-            return pallas_synthesis_base(
-                p, x, slope=self.cfg.model.leaky_relu_slope, clip=True
-            )
+            if self.cfg.model.preset == "base":
+                return pc.pallas_synthesis_base(
+                    p, x, slope=self.cfg.model.leaky_relu_slope, clip=True
+                )
+            return pc.pallas_synthesis_deep(p, x, clip=True)
         return self.synthesis.apply({"params": p}, x, column_mask)
 
     def decode_planes(

@@ -46,11 +46,14 @@ def _auto_interpret(flag):
 
 
 def _epilogue(y, b, slope, res, add_before_act, clip):
+    """slope: None (no activation), a float (leaky_relu), or a [1, Cout]
+    array value (PReLU per-channel alpha, reference tf1_13/src/utils.py:17-25)."""
     y = y + b
     if res is not None and add_before_act:
         y = y + res
     if slope is not None:
-        y = jnp.where(y >= 0, y, slope * y)
+        s = slope[0] if hasattr(slope, "ndim") else slope
+        y = jnp.where(y >= 0, y, s * y)
     if res is not None and not add_before_act:
         y = y + res
     if clip:
@@ -61,13 +64,17 @@ def _epilogue(y, b, slope, res, add_before_act, clip):
 def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
                  acc_dtype=jnp.float32):
     kh, kw, cin, _ = w_shape
+    prelu = slope == "prelu"
 
     def kernel(x_any, w_v, b_v, *rest):
+        if prelu:
+            alpha_v, *rest = rest
         if has_res:
             res_any, out_any, stripe, rtile, otile, sem_in, sem_res, sem_out = rest
         else:
             out_any, stripe, otile, sem_in, sem_out = rest
             res_any = rtile = sem_res = None
+        act = alpha_v[:] if prelu else slope
         n = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -94,7 +101,7 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
         if has_res:
             cp_res.wait()
             res_val = rtile[:].reshape(TH * out_w, cout).astype(acc_dtype)
-        y = _epilogue(acc, b_v[0], slope, res_val, add_before_act, clip)
+        y = _epilogue(acc, b_v[0], act, res_val, add_before_act, clip)
         otile[:] = y.reshape(TH, out_w, cout).astype(otile.dtype)
         cp_out = pltpu.make_async_copy(
             otile, out_any.at[n, pl.ds(t * TH, TH)], sem_out
@@ -114,15 +121,16 @@ def conv3x3_valid_fused(
     w: jnp.ndarray,
     b: jnp.ndarray,
     residual: jnp.ndarray | None = None,
+    alpha: jnp.ndarray | None = None,
     *,
-    slope: float | None = 0.2,
+    slope: float | str | None = 0.2,
     add_before_act: bool = False,
     clip: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x [N, H+kh-1, W+kw-1, C] (pre-padded), w [kh,kw,C,Cout], b [Cout]
     -> [N, H, W, Cout] with fused epilogue. H is padded up to a TH multiple
-    internally."""
+    internally. slope='prelu' uses the per-channel ``alpha`` [Cout] array."""
     n, hp, wp, cin = x.shape
     kh, kw, _, cout = w.shape
     h = hp - (kh - 1)
@@ -168,6 +176,13 @@ def conv3x3_valid_fused(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # b
     ]
     operands = [x, w, b.reshape(1, cout_k)]
+    if slope == "prelu":
+        if alpha is None:
+            raise ValueError("slope='prelu' requires alpha")
+        if cout_pad:
+            alpha = jnp.pad(alpha, (0, cout_pad))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(alpha.reshape(1, cout_k))
     scratch = [
         pltpu.VMEM((TH + kh - 1, wp8, cin_k), x.dtype),
         pltpu.VMEM((TH, out_w8, cout_k), x.dtype),
@@ -225,25 +240,26 @@ def _weights_5x5s2_to_3x3(w: jnp.ndarray) -> jnp.ndarray:
     return w3.reshape(3, 3, 4 * c, cout)
 
 
-def conv5x5_s2_fused(x, w, b, *, slope=0.2, clip=False, interpret=None):
+def conv5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
+                     interpret=None):
     """SAME 5x5 stride-2 conv + epilogue via space-to-depth + core kernel."""
     interpret = _auto_interpret(interpret)
     x4, h_out, w_out = _space_to_depth_for_5x5s2(x)
     w3 = _weights_5x5s2_to_3x3(w)
     out = conv3x3_valid_fused(
-        x4, w3, b, slope=slope, clip=clip, interpret=interpret
+        x4, w3, b, None, alpha, slope=slope, clip=clip, interpret=interpret
     )
     return out[:, :h_out, :w_out]
 
 
-def conv3x3_s1_fused(x, w, b, residual=None, *, slope=0.2,
+def conv3x3_s1_fused(x, w, b, residual=None, alpha=None, *, slope=0.2,
                      add_before_act=False, clip=False, interpret=None):
     """SAME 3x3 stride-1 conv + epilogue (also: SAME 3x3/s1 conv-transpose,
     which is the identical operator)."""
     interpret = _auto_interpret(interpret)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return conv3x3_valid_fused(
-        xp, w, b, residual,
+        xp, w, b, residual, alpha,
         slope=slope, add_before_act=add_before_act, clip=clip,
         interpret=interpret,
     )
@@ -267,7 +283,7 @@ def _weights_convT5x5s2_phases(w: jnp.ndarray) -> jnp.ndarray:
     return wp.reshape(3, 3, c, 4 * cout)
 
 
-def conv_transpose5x5_s2_fused(x, w, b, *, slope=0.2, clip=False,
+def conv_transpose5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
                                interpret=None):
     """SAME 5x5 stride-2 conv-transpose + epilogue via phase decomposition.
     x [N,h,w,C] -> [N,2h,2w,Cout]."""
@@ -276,9 +292,10 @@ def conv_transpose5x5_s2_fused(x, w, b, *, slope=0.2, clip=False,
     cout = w.shape[3]
     wp = _weights_convT5x5s2_phases(w)
     bp = jnp.tile(b, 4)
+    ap = jnp.tile(alpha, 4) if alpha is not None else None
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ph = conv3x3_valid_fused(
-        xp, wp, bp, slope=slope, clip=clip, interpret=interpret
+        xp, wp, bp, None, ap, slope=slope, clip=clip, interpret=interpret
     )  # [N, h, w, 4*Cout], channel blocks are (p, q)
     ph = ph.reshape(n, h, wd, 2, 2, cout)
     out = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, cout)
@@ -319,4 +336,43 @@ def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None):
     x = conv_transpose5x5_s2_fused(
         x, *g("dconv8"), slope=slope, clip=clip, interpret=interpret
     )
+    return x
+
+
+# ----------------------------------------------- full transform (deep preset)
+
+
+def pallas_analysis_deep(params, x, *, clip=True, interpret=None):
+    """Pallas twin of AnalysisTransform(preset='deep') — the tf1_13 topology
+    (reference tf1_13/src/utils.py:39-58): 16x downsample, PReLU activations,
+    residual stages fused as conv+add-before-PReLU epilogues."""
+    g = lambda name: (params[name]["kernel"], params[name]["bias"])
+    a = lambda name: params[name]["alpha"]
+    k = dict(slope="prelu", interpret=interpret)
+    x = conv5x5_s2_fused(x, *g("conv1"), a("act1"), **k)
+    x = conv5x5_s2_fused(x, *g("conv2"), a("act2"), **k)
+    res = conv3x3_s1_fused(x, *g("conv3"), None, a("act3"), **k)
+    x = conv3x3_s1_fused(res, *g("conv4"), x, a("act4"), add_before_act=True, **k)
+    x = conv5x5_s2_fused(x, *g("conv5"), a("act5"), **k)
+    res = conv3x3_s1_fused(x, *g("conv6"), None, a("act6"), **k)
+    x = conv3x3_s1_fused(res, *g("conv7"), x, a("act7"), add_before_act=True, **k)
+    x = conv5x5_s2_fused(x, *g("conv8"), a("act8"), clip=clip, **k)
+    return x
+
+
+def pallas_synthesis_deep(params, x, *, clip=True, interpret=None):
+    """Pallas twin of SynthesisTransform(preset='deep')
+    (reference tf1_13/src/utils.py:60-79). Residual stages use regular convs
+    between the transposed-conv upsamples, as in the reference."""
+    g = lambda name: (params[name]["kernel"], params[name]["bias"])
+    a = lambda name: params[name]["alpha"]
+    k = dict(slope="prelu", interpret=interpret)
+    x = conv_transpose5x5_s2_fused(x, *g("dconv1"), a("act1"), **k)
+    res = conv3x3_s1_fused(x, *g("dconv2"), None, a("act2"), **k)
+    x = conv3x3_s1_fused(res, *g("dconv3"), x, a("act3"), add_before_act=True, **k)
+    x = conv_transpose5x5_s2_fused(x, *g("dconv4"), a("act4"), **k)
+    res = conv3x3_s1_fused(x, *g("dconv5"), None, a("act5"), **k)
+    x = conv3x3_s1_fused(res, *g("dconv6"), x, a("act6"), add_before_act=True, **k)
+    x = conv_transpose5x5_s2_fused(x, *g("dconv7"), a("act7"), **k)
+    x = conv_transpose5x5_s2_fused(x, *g("dconv8"), a("act8"), clip=clip, **k)
     return x

@@ -110,3 +110,23 @@ def test_factorized_bits_pallas_parity(rng):
     out = factorized_bits_pallas(z, params, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_analysis_deep_parity(rng):
+    x = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+    ana = AnalysisTransform(preset="deep")
+    p = ana.init(jax.random.key(3), x)["params"]
+    ref = ana.apply({"params": p}, x)
+    out = pc.pallas_analysis_deep(p, x, interpret=True)
+    assert out.shape == ref.shape == (1, 4, 4, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_synthesis_deep_parity(rng):
+    lat = jnp.asarray(rng.random((1, 4, 4, 32)).astype(np.float32))
+    syn = SynthesisTransform(preset="deep")
+    p = syn.init(jax.random.key(4), lat)["params"]
+    ref = syn.apply({"params": p}, lat)
+    out = pc.pallas_synthesis_deep(p, lat, interpret=True)
+    assert out.shape == ref.shape == (1, 64, 64, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
