@@ -107,11 +107,14 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument("--input", required=True)
     p_comp.add_argument("--run", required=True, help="training run dir with checkpoints")
     p_comp.add_argument("--output", default=None)
+    p_comp.add_argument("--password", default=None,
+                        help="encrypt containers (authenticated stream cipher)")
 
     p_dec = sub.add_parser("decompress", help="decompress a bitstream directory")
     p_dec.add_argument("--input", required=True)
     p_dec.add_argument("--run", required=True)
     p_dec.add_argument("--output", default=None)
+    p_dec.add_argument("--password", default=None)
 
     p_eval = sub.add_parser("eval", help="PSNR/MS-SSIM between two directories")
     p_eval.add_argument("--orig", required=True)
@@ -151,7 +154,9 @@ def main(argv: list[str] | None = None) -> int:
         from neural_network_image_compression_tpu.evaluation import compress_directory
 
         codec, params = _load_run(args.run)
-        results = compress_directory(codec, params, args.input, args.output)
+        results = compress_directory(
+            codec, params, args.input, args.output, password=args.password
+        )
         for r in results:
             print(f"{r.name}\t{r.num_bytes} B\t{r.bpp:.4f} bpp")
         return 0
@@ -160,7 +165,9 @@ def main(argv: list[str] | None = None) -> int:
         from neural_network_image_compression_tpu.evaluation import decompress_directory
 
         codec, params = _load_run(args.run)
-        written = decompress_directory(codec, params, args.input, args.output)
+        written = decompress_directory(
+            codec, params, args.input, args.output, password=args.password
+        )
         for path in written:
             print(path)
         return 0

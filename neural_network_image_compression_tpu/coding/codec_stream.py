@@ -59,8 +59,12 @@ def decode_latent(
     return np.concatenate(planes, axis=-1)
 
 
-def compress_image(codec, params, rgb_u8: np.ndarray, tables=None) -> bytes:
-    """uint8 [H,W,3] -> container bytes (header + 3 rANS plane streams)."""
+def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
+                   password: str | None = None) -> bytes:
+    """uint8 [H,W,3] -> container bytes (header + 3 rANS plane streams).
+    With ``password``, the container is wrapped in the authenticated stream
+    cipher from coding/crypto.py (the reference's advertised-but-missing
+    encryption capability)."""
     if tables is None:
         tables = build_tables(codec, params)
     cdf_y, cdf_c = tables
@@ -77,11 +81,23 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None) -> bytes:
         lat_h=sym.shape[0],
         lat_w=sym.shape[1],
     )
-    return pack_container(header, streams)
+    blob = pack_container(header, streams)
+    if password is not None:
+        from neural_network_image_compression_tpu.coding.crypto import encrypt
+
+        blob = encrypt(blob, password)
+    return blob
 
 
-def decompress_image(codec, params, data: bytes, tables=None) -> np.ndarray:
+def decompress_image(codec, params, data: bytes, tables=None,
+                     password: str | None = None) -> np.ndarray:
     """Container bytes -> uint8 [H,W,3] reconstruction."""
+    from neural_network_image_compression_tpu.coding.crypto import decrypt, is_encrypted
+
+    if is_encrypted(data):
+        if password is None:
+            raise ValueError("container is encrypted; password required")
+        data = decrypt(data, password)
     header, streams = unpack_container(data)
     if tables is None:
         tables = build_tables(codec, params)

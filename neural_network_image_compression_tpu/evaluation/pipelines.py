@@ -57,6 +57,7 @@ def compress_directory(
     dataset_path: str,
     output_dir: str | None = None,
     tables=None,
+    password: str | None = None,
 ) -> list[FileResult]:
     """Compress every image; writes ``<stem>.nic`` (rans) or ``<stem>.png``
     (reference-parity packed latent). Returns per-file rate results and a
@@ -75,7 +76,7 @@ def compress_directory(
         stem = os.path.splitext(name)[0]
         pixels = img.shape[0] * img.shape[1]
         if mode == "rans":
-            blob = compress_image(codec, params, img, tables)
+            blob = compress_image(codec, params, img, tables, password=password)
             out_path = os.path.join(output_dir, stem + ".nic")
             with open(out_path, "wb") as f:
                 f.write(blob)
@@ -100,6 +101,7 @@ def decompress_directory(
     output_dir: str | None = None,
     orig_shapes: dict[str, tuple[int, int]] | None = None,
     tables=None,
+    password: str | None = None,
 ) -> list[str]:
     """Decompress every bitstream file to ``<stem>.png`` reconstructions.
 
@@ -118,7 +120,9 @@ def decompress_directory(
         path = os.path.join(compressed_path, name)
         if mode == "rans" and ext == ".nic":
             with open(path, "rb") as f:
-                rgb = decompress_image(codec, params, f.read(), tables)
+                rgb = decompress_image(
+                    codec, params, f.read(), tables, password=password
+                )
         elif mode == "png" and ext == ".png":
             packed = load_image(path)
             if packed is None:

@@ -136,3 +136,43 @@ class TestEndToEnd:
         # bitstream round-trip must equal the direct forward path exactly
         direct = np.asarray(codec.forward(params, rgb[None]))[0]
         np.testing.assert_array_equal(out, direct)
+
+
+class TestCrypto:
+    def test_encrypt_round_trip(self):
+        from neural_network_image_compression_tpu.coding.crypto import (
+            decrypt,
+            encrypt,
+            is_encrypted,
+        )
+
+        payload = b"\x00\x01\x02" * 1000 + b"tail"
+        blob = encrypt(payload, "hunter2")
+        assert is_encrypted(blob) and not is_encrypted(payload)
+        assert blob != payload
+        assert decrypt(blob, "hunter2") == payload
+
+    def test_wrong_password_and_tamper(self):
+        from neural_network_image_compression_tpu.coding.crypto import decrypt, encrypt
+
+        blob = encrypt(b"secret latent data", "right")
+        with pytest.raises(ValueError):
+            decrypt(blob, "wrong")
+        tampered = blob[:-5] + bytes(5)
+        with pytest.raises(ValueError):
+            decrypt(tampered, "right")
+
+    def test_encrypted_container_end_to_end(self, rng):
+        import jax
+
+        cfg = Config()
+        codec = NeuralCodec(cfg)
+        params = codec.init(jax.random.key(0))
+        tables = build_tables(codec, params)
+        rgb = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+        blob = compress_image(codec, params, rgb, tables, password="pw")
+        out = decompress_image(codec, params, blob, tables, password="pw")
+        direct = np.asarray(codec.forward(params, rgb[None]))[0]
+        np.testing.assert_array_equal(out, direct)
+        with pytest.raises(ValueError):
+            decompress_image(codec, params, blob, tables)  # no password

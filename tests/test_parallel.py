@@ -104,3 +104,23 @@ def test_data_parallel_step_matches_single_device(rng):
         jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("preset", ["deep"])
+def test_tiled_paths_deep_preset(rng, preset):
+    """Validates the deep-preset halo widths (16x downsample, larger
+    receptive field) against the whole-image computation."""
+    from neural_network_image_compression_tpu.config import ModelConfig
+
+    cfg = Config(model=ModelConfig(preset=preset))
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(2))
+    mesh = make_mesh(data=1, spatial=2)
+    rgb = rng.integers(0, 256, (1, 64, 64 * 2 * 2, 3), dtype=np.uint8)
+    whole = np.asarray(codec.encode(params, rgb))
+    tiled = np.asarray(tiled_encode(codec, params, jnp.asarray(rgb), mesh))
+    assert int((tiled != whole).sum()) == 0
+    sym = rng.integers(0, 256, (1, 4, 8 * 2, 96), dtype=np.uint8)
+    whole_d = np.asarray(codec.decode(params, sym))
+    tiled_d = np.asarray(tiled_decode(codec, params, jnp.asarray(sym), mesh))
+    assert int((tiled_d != whole_d).sum()) == 0
