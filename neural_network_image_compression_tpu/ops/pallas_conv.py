@@ -77,19 +77,36 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
         act = alpha_v[:] if prelu else slope
         n = pl.program_id(0)
         t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
 
-        cp_in = pltpu.make_async_copy(
-            x_any.at[n, pl.ds(t * TH, TH + kh - 1)], stripe, sem_in
-        )
-        cp_in.start()
+        def stripe_dma(slot_idx, tile_idx):
+            return pltpu.make_async_copy(
+                x_any.at[n, pl.ds(tile_idx * TH, TH + kh - 1)],
+                stripe.at[slot_idx],
+                sem_in.at[slot_idx],
+            )
+
+        # Double buffering: the TPU grid runs sequentially, scratch persists
+        # across steps. Tile t's stripe was prefetched at step t-1; kick off
+        # t+1's DMA before computing t. Each batch row restarts the pipeline.
+        @pl.when(t == 0)
+        def _():
+            stripe_dma(slot, t).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            stripe_dma(nxt, t + 1).start()
+
         if has_res:
             cp_res = pltpu.make_async_copy(
                 res_any.at[n, pl.ds(t * TH, TH)], rtile, sem_res
             )
             cp_res.start()
-        cp_in.wait()
+        stripe_dma(slot, t).wait()
 
-        sv = stripe[:]
+        sv = stripe[slot]
         acc = jnp.zeros((TH * out_w, cout), acc_dtype)
         for ky in range(kh):
             for kx in range(kw):
@@ -183,17 +200,26 @@ def conv3x3_valid_fused(
             alpha = jnp.pad(alpha, (0, cout_pad))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(alpha.reshape(1, cout_k))
-    scratch = [
-        pltpu.VMEM((TH + kh - 1, wp8, cin_k), x.dtype),
-        pltpu.VMEM((TH, out_w8, cout_k), x.dtype),
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
-    ]
+    # Scratch order must match the kernel's unpack order exactly:
+    # [stripe, (rtile), otile, sem_in, (sem_res), sem_out].
     if has_res:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(residual)
-        scratch.insert(1, pltpu.VMEM((TH, out_w8, cout_k), x.dtype))
-        scratch.insert(3, pltpu.SemaphoreType.DMA)
+        scratch = [
+            pltpu.VMEM((2, TH + kh - 1, wp8, cin_k), x.dtype),  # double-buffered
+            pltpu.VMEM((TH, out_w8, cout_k), x.dtype),          # rtile
+            pltpu.VMEM((TH, out_w8, cout_k), x.dtype),          # otile
+            pltpu.SemaphoreType.DMA((2,)),                       # sem_in
+            pltpu.SemaphoreType.DMA,                             # sem_res
+            pltpu.SemaphoreType.DMA,                             # sem_out
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, TH + kh - 1, wp8, cin_k), x.dtype),
+            pltpu.VMEM((TH, out_w8, cout_k), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
 
     out = pl.pallas_call(
         kernel,
