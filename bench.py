@@ -34,7 +34,7 @@ def measure_tpu() -> float:
     from neural_network_image_compression_tpu.config import Config, ModelConfig
     from neural_network_image_compression_tpu.models import NeuralCodec
 
-    cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
+    cfg = Config(model=ModelConfig(compute_dtype="bfloat16", backend="auto"))  # auto==xla in bf16
     codec = NeuralCodec(cfg)
     params = codec.init(jax.random.key(0), (H, W))
     rgb = np.random.default_rng(0).integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8)

@@ -37,8 +37,9 @@ class ModelConfig:
     prelu_init: float = 0.2              # reference tf1_13/src/utils.py:20-21
     clip_latent: bool = True             # clip latent to [0,1] before quantize
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16' for conv compute
-    backend: str = "xla"                 # 'xla' | 'pallas' (inference conv path;
-                                         # pallas covers the 'base' preset)
+    backend: str = "xla"                 # 'xla' | 'pallas' | 'auto' (inference
+                                         # conv engine; 'auto' = XLA analysis +
+                                         # pallas synthesis, fastest on v5e)
 
     @property
     def downsample(self) -> int:

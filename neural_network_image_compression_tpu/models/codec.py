@@ -100,6 +100,11 @@ class NeuralCodec:
         return jnp.concatenate([lat_y, lat_c[:n], lat_c[n:]], axis=3)
 
     def _apply_analysis(self, p, x, column_mask=None):
+        # 'auto' picks the faster engine per transform (measured on v5e,
+        # benchmarks/pallas_bench.py): XLA for analysis (the pallas path pays
+        # 32x DMA amplification padding the 1-channel input to 128 lanes),
+        # pallas for synthesis (phase-decomposed transposed convs beat XLA's
+        # dilated-conv lowering by ~1.2x).
         if self.cfg.model.backend == "pallas" and column_mask is None:
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
@@ -113,7 +118,13 @@ class NeuralCodec:
         return self.analysis.apply({"params": p}, x, column_mask)
 
     def _apply_synthesis(self, p, x, column_mask=None):
-        if self.cfg.model.backend == "pallas" and column_mask is None:
+        # 'auto': pallas synthesis only in float32 — in bfloat16 XLA's native
+        # lowering is faster for both transforms (measured on v5e).
+        use_pallas = self.cfg.model.backend == "pallas" or (
+            self.cfg.model.backend == "auto"
+            and self.cfg.model.compute_dtype == "float32"
+        )
+        if use_pallas and column_mask is None:
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
             if self.cfg.model.preset == "base":

@@ -34,7 +34,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8  # output rows per grid step
+# Scoped-VMEM budget for the explicit scratch buffers. The 16MB hardware
+# limit also covers the kernel's value stack (the loaded stripe, the f32
+# accumulator, per-tap temporaries), which roughly doubles the footprint —
+# hence the conservative cap.
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _sublane_granule(itemsize: int) -> int:
+    """Minimum sublane alignment for the dtype: (8,128) tiles for f32,
+    (16,128) for bf16, (32,128) for int8/fp8."""
+    return {4: 8, 2: 16, 1: 32}[itemsize]
+
+
+def _pick_tile_rows(kh, wp8, cin_k, out_w8, cout_k, itemsize, has_res):
+    """Largest output-rows-per-step (granule multiple) whose scratch fits
+    VMEM: 2-slot input stripe + 2-slot output tile (+ residual tile)."""
+    g = _sublane_granule(itemsize)
+    for th in (4 * g, 3 * g, 2 * g, g):
+        stripe = 2 * (th + kh - 1) * wp8 * cin_k * itemsize
+        otile = 2 * th * out_w8 * cout_k * itemsize
+        rtile = th * out_w8 * cout_k * itemsize if has_res else 0
+        if stripe + otile + rtile <= _VMEM_BUDGET:
+            return th
+    return g
 
 
 def _auto_interpret(flag):
@@ -62,7 +85,7 @@ def _epilogue(y, b, slope, res, add_before_act, clip):
 
 
 def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
-                 acc_dtype=jnp.float32):
+                 TH, acc_dtype=jnp.float32):
     kh, kw, cin, _ = w_shape
     prelu = slope == "prelu"
 
@@ -106,11 +129,14 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
             cp_res.start()
         stripe_dma(slot, t).wait()
 
-        sv = stripe[slot]
         acc = jnp.zeros((TH * out_w, cout), acc_dtype)
         for ky in range(kh):
             for kx in range(kw):
-                patch = sv[ky : ky + TH, kx : kx + out_w, :].reshape(TH * out_w, cin)
+                # Slice the ref per tap (not one big stripe load): keeps the
+                # value-stack footprint down so TH can stay large.
+                patch = stripe[slot, ky : ky + TH, kx : kx + out_w, :].reshape(
+                    TH * out_w, cin
+                )
                 acc = acc + jnp.dot(
                     patch, w_v[ky, kx], preferred_element_type=acc_dtype
                 )
@@ -119,12 +145,33 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
             cp_res.wait()
             res_val = rtile[:].reshape(TH * out_w, cout).astype(acc_dtype)
         y = _epilogue(acc, b_v[0], act, res_val, add_before_act, clip)
-        otile[:] = y.reshape(TH, out_w, cout).astype(otile.dtype)
+
+        # Double-buffered output: wait for this slot's PREVIOUS write (from
+        # two steps ago) before overwriting, then fire and forget; the final
+        # grid step drains both slots.
+        @pl.when(t >= 2)
+        def _():
+            pltpu.make_async_copy(
+                otile.at[slot], out_any.at[n, pl.ds((t - 2) * TH, TH)],
+                sem_out.at[slot],
+            ).wait()
+
+        otile[slot] = y.reshape(TH, out_w, cout).astype(otile.dtype)
         cp_out = pltpu.make_async_copy(
-            otile, out_any.at[n, pl.ds(t * TH, TH)], sem_out
+            otile.at[slot], out_any.at[n, pl.ds(t * TH, TH)], sem_out.at[slot]
         )
         cp_out.start()
-        cp_out.wait()
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            cp_out.wait()
+
+            @pl.when(n_tiles >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    otile.at[nxt], out_any.at[n, pl.ds((t - 1) * TH, TH)],
+                    sem_out.at[nxt],
+                ).wait()
 
     return kernel
 
@@ -152,6 +199,13 @@ def conv3x3_valid_fused(
     kh, kw, _, cout = w.shape
     h = hp - (kh - 1)
     out_w = wp - (kw - 1)
+    gran = _sublane_granule(x.dtype.itemsize)
+    out_w8 = -(-out_w // gran) * gran
+    wp8 = -(-(out_w8 + kw - 1) // gran) * gran
+    cin_k = cin + ((-cin) % 128)
+    cout_k = cout + ((-cout) % 128)
+    TH = _pick_tile_rows(kh, wp8, cin_k, out_w8, cout_k, x.dtype.itemsize,
+                         residual is not None)
     h_pad = (-h) % TH
     if h_pad:
         x = jnp.pad(x, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
@@ -162,16 +216,14 @@ def conv3x3_valid_fused(
     # Mosaic DMA alignment: lane (minor) dims must be 128-aligned and
     # sublane (W) extents 8-aligned. Pad channels and widths with zeros —
     # zero weight rows/cols keep the math identical — and slice back after.
-    out_w8 = -(-out_w // 8) * 8
-    wp8 = -(-(out_w8 + kw - 1) // 8) * 8
     if wp8 != wp:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, wp8 - wp), (0, 0)))
     if residual is not None and residual.shape[2] != out_w8:
         residual = jnp.pad(
             residual, ((0, 0), (0, 0), (0, out_w8 - residual.shape[2]), (0, 0))
         )
-    cin_pad = (-cin) % 128
-    cout_pad = (-cout) % 128
+    cin_pad = cin_k - cin
+    cout_pad = cout_k - cout
     if cin_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
@@ -180,12 +232,9 @@ def conv3x3_valid_fused(
         b = jnp.pad(b, (0, cout_pad))
         if residual is not None:
             residual = jnp.pad(residual, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
-    cin_k = cin + cin_pad
-    cout_k = cout + cout_pad
-
     has_res = residual is not None
     kernel = _make_kernel(
-        w.shape, out_w8, cout_k, slope, has_res, add_before_act, clip
+        w.shape, out_w8, cout_k, slope, has_res, add_before_act, clip, TH
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # x (HBM, manual DMA)
@@ -206,19 +255,19 @@ def conv3x3_valid_fused(
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(residual)
         scratch = [
-            pltpu.VMEM((2, TH + kh - 1, wp8, cin_k), x.dtype),  # double-buffered
+            pltpu.VMEM((2, TH + kh - 1, wp8, cin_k), x.dtype),  # stripe (2-slot)
             pltpu.VMEM((TH, out_w8, cout_k), x.dtype),          # rtile
-            pltpu.VMEM((TH, out_w8, cout_k), x.dtype),          # otile
+            pltpu.VMEM((2, TH, out_w8, cout_k), x.dtype),       # otile (2-slot)
             pltpu.SemaphoreType.DMA((2,)),                       # sem_in
             pltpu.SemaphoreType.DMA,                             # sem_res
-            pltpu.SemaphoreType.DMA,                             # sem_out
+            pltpu.SemaphoreType.DMA((2,)),                       # sem_out
         ]
     else:
         scratch = [
             pltpu.VMEM((2, TH + kh - 1, wp8, cin_k), x.dtype),
-            pltpu.VMEM((TH, out_w8, cout_k), x.dtype),
+            pltpu.VMEM((2, TH, out_w8, cout_k), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ]
 
     out = pl.pallas_call(

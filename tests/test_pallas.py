@@ -130,3 +130,14 @@ def test_pallas_synthesis_deep_parity(rng):
     out = pc.pallas_synthesis_deep(p, lat, interpret=True)
     assert out.shape == ref.shape == (1, 64, 64, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_bf16_parity(rng):
+    x = jnp.asarray(rng.random((1, 64, 72, 1)).astype(np.float32)).astype(jnp.bfloat16)
+    ana = AnalysisTransform(preset="base", compute_dtype="bfloat16")
+    p = ana.init(jax.random.key(5), x)["params"]
+    ref = ana.apply({"params": p}, x)
+    out = pc.pallas_analysis_base(p, x.astype(jnp.bfloat16), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
