@@ -66,6 +66,10 @@ def _build_config(args) -> "Config":
             compute_dtype=args.compute_dtype,
         ),
         data=dataclasses.replace(cfg.data, train_dir=args.data, val_dir=args.val),
+        entropy=dataclasses.replace(
+            cfg.entropy,
+            context=getattr(args, "entropy_context", cfg.entropy.context),
+        ),
         train=dataclasses.replace(
             cfg.train,
             batch_size=args.batch_size,
@@ -96,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--preset", choices=["base", "deep"], default="base")
     p_train.add_argument("--distortion", choices=["ssim", "ms_ssim", "mse"], default="ssim")
     p_train.add_argument("--bitstream", choices=["rans", "png"], default="rans")
+    p_train.add_argument("--entropy-context", choices=["none", "checkerboard"],
+                         default="none", dest="entropy_context",
+                         help="spatial context model for the rate path")
     p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
     p_train.add_argument("--max-steps", type=int, default=None)
     p_train.add_argument("--resume", action="store_true")

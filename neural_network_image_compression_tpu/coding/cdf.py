@@ -61,6 +61,43 @@ def quantize_pmf(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
     return cdf
 
 
+def make_scale_table(num_bins: int = 64, scale_min: float = 0.11,
+                     scale_max: float = 256.0) -> np.ndarray:
+    """Log-spaced conditional-Gaussian scale bins (symbol units). Static —
+    shared by encoder and decoder without transmission."""
+    return np.exp(
+        np.linspace(np.log(scale_min), np.log(scale_max), num_bins)
+    ).astype(np.float32)
+
+
+def gaussian_scale_cdfs(scale_table: np.ndarray, levels: int = 256,
+                        precision: int = 16) -> np.ndarray:
+    """[S, levels+1] uint32 CDF rows for mean-shifted conditional coding.
+
+    Row j is a discretized N(center, scale_table[j]^2) over w in [0, levels)
+    with center = levels//2; the coder transmits w = (s - round(mu) + center)
+    mod levels, so the distribution of w is the residual distribution
+    recentred — one row per scale bin instead of one per (mean, scale) pair.
+    Tail mass outside the window is folded into the edge bins (the mod-levels
+    wrap makes any symbol decodable regardless)."""
+    scales = np.asarray(scale_table, np.float64)
+    center = levels // 2
+    edges = np.arange(levels + 1, dtype=np.float64) - 0.5 - center  # [L+1]
+    upper = _ndtr(edges[None, 1:] / scales[:, None])
+    lower = _ndtr(edges[None, :-1] / scales[:, None])
+    pmf = upper - lower
+    pmf[:, 0] += lower[:, 0]          # fold left tail
+    pmf[:, -1] += 1.0 - upper[:, -1]  # fold right tail
+    return quantize_pmf(pmf, precision)
+
+
+def _ndtr(x: np.ndarray) -> np.ndarray:
+    """Standard normal CDF via erf (numpy-only)."""
+    import math
+
+    return 0.5 * (1.0 + np.vectorize(math.erf)(x / np.sqrt(2.0)))
+
+
 def estimate_bits(symbols: np.ndarray, cdf: np.ndarray, precision: int = 16) -> float:
     """Shannon estimate (in bits) of coding `symbols` with the quantized
     tables; channel of flattened symbol i is i % C. Used to sanity-check the

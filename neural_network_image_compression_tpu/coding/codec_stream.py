@@ -59,6 +59,133 @@ def decode_latent(
     return np.concatenate(planes, axis=-1)
 
 
+# ---------------------------------------- checkerboard-context (two-pass) path
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _scale_tables(bins: int, smin: float, smax: float, levels: int,
+                  precision: int):
+    """Static (config-only) conditional-coding tables: (scale_table [S],
+    gaussian CDF rows [S, levels+1]). Shared by encoder and decoder with no
+    transmission."""
+    table = cdf_mod.make_scale_table(bins, smin, smax)
+    return table, cdf_mod.gaussian_scale_cdfs(table, levels, precision)
+
+
+def _codec_scale_tables(codec):
+    e = codec.cfg.entropy
+    return _scale_tables(
+        e.scale_bins, e.scale_min, e.scale_max, codec.levels, e.cdf_precision
+    )
+
+
+def _anchor_mask(h: int, w: int) -> np.ndarray:
+    return (np.add.outer(np.arange(h), np.arange(w)) % 2) == 0
+
+
+def _ctx_fn(codec):
+    """Jitted (params, sym [1,h,w,3C] uint8) -> (mean, scale) [h,w,3C].
+
+    The context nets see only anchor positions (masked inside
+    codec.context_params), so running this on the full encoder-side grid and
+    on the decoder-side anchors-only grid gives bitwise-identical outputs —
+    provided encode and decode run on the same platform (float conv results
+    differ across backends; same-process round-trips are always safe)."""
+    fn = getattr(codec, "_ctx_coding_fn", None)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        cch = codec.latent_channels
+
+        def f(params, sym):
+            z = sym.astype(jnp.float32)
+            my, sy = codec.context_params(params, "y", z[..., :cch])
+            zc = jnp.concatenate(
+                [z[..., cch : 2 * cch], z[..., 2 * cch :]], axis=0
+            )
+            mc, sc = codec.context_params(params, "c", zc)
+            mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
+            scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
+            return mean[0], scale[0]
+
+        fn = jax.jit(f)
+        codec._ctx_coding_fn = fn
+    return fn
+
+
+def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
+                      precision: int) -> list[bytes]:
+    """[h,w,3C] symbols -> 6 streams: per plane, an anchor stream (factorized
+    CDFs, existing coder) then a context stream (mean-shifted residuals coded
+    with scale-binned Gaussian rows through the indexed rANS coder)."""
+    levels = codec.levels
+    cch = cdf_y.shape[0]
+    h, w = sym.shape[:2]
+    amask = _anchor_mask(h, w)
+    nmask = ~amask
+    scale_table, scale_cdfs = _codec_scale_tables(codec)
+    mean, scale = _ctx_fn(codec)(params, sym[None])
+    mean = np.asarray(mean)
+    scale = np.asarray(scale, np.float32)
+    streams: list[bytes] = []
+    for p, table in enumerate((cdf_y, cdf_c, cdf_c)):
+        plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
+        streams.append(rans.encode(plane[amask], table, precision))
+        s = plane[nmask].astype(np.int64)                       # [n_non, C]
+        mu = np.round(mean[..., p * cch : (p + 1) * cch][nmask]).astype(np.int64) % levels
+        wsym = ((s - mu + levels // 2) % levels).astype(np.uint8)
+        idx = np.minimum(
+            np.searchsorted(
+                scale_table, scale[..., p * cch : (p + 1) * cch][nmask], side="left"
+            ),
+            len(scale_table) - 1,
+        ).astype(np.int32)
+        streams.append(rans.encode_indexed(wsym, idx, scale_cdfs, precision))
+    return streams
+
+
+def decode_latent_ctx(codec, params, streams: list[bytes],
+                      lat_hw: tuple[int, int], cdf_y, cdf_c,
+                      precision: int) -> np.ndarray:
+    """Inverse of :func:`encode_latent_ctx` -> [h,w,3C] uint8 symbols.
+    Pass 1 decodes all anchors; one jitted context-net call then gives every
+    non-anchor's conditional parameters for pass 2 (no sequential scan)."""
+    levels = codec.levels
+    cch = cdf_y.shape[0]
+    h, w = lat_hw
+    amask = _anchor_mask(h, w)
+    nmask = ~amask
+    n_anchor = int(amask.sum())
+    sym = np.zeros((h, w, 3 * cch), np.uint8)
+    for p, table in enumerate((cdf_y, cdf_c, cdf_c)):
+        flat = rans.decode(streams[2 * p], n_anchor * cch, table, precision)
+        plane = np.zeros((h, w, cch), np.uint8)
+        plane[amask] = flat.reshape(n_anchor, cch)
+        sym[..., p * cch : (p + 1) * cch] = plane
+    scale_table, scale_cdfs = _codec_scale_tables(codec)
+    mean, scale = _ctx_fn(codec)(params, sym[None])
+    mean = np.asarray(mean)
+    scale = np.asarray(scale, np.float32)
+    for p in range(3):
+        mu = np.round(mean[..., p * cch : (p + 1) * cch][nmask]).astype(np.int64) % levels
+        idx = np.minimum(
+            np.searchsorted(
+                scale_table, scale[..., p * cch : (p + 1) * cch][nmask], side="left"
+            ),
+            len(scale_table) - 1,
+        ).astype(np.int32)
+        wsym = rans.decode_indexed(streams[2 * p + 1], idx, scale_cdfs, precision)
+        s = (wsym.reshape(mu.shape).astype(np.int64) - levels // 2 + mu) % levels
+        plane = sym[..., p * cch : (p + 1) * cch]
+        plane[nmask] = s.astype(np.uint8)
+        sym[..., p * cch : (p + 1) * cch] = plane
+    return sym
+
+
 def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
                    password: str | None = None) -> bytes:
     """uint8 [H,W,3] -> container bytes (header + 3 rANS plane streams).
@@ -70,7 +197,11 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
     cdf_y, cdf_c = tables
     precision = codec.cfg.entropy.cdf_precision
     sym = np.asarray(codec.encode(params, rgb_u8[None]))[0]
-    streams = encode_latent(sym, cdf_y, cdf_c, precision)
+    ctx = codec.context_y is not None
+    if ctx:
+        streams = encode_latent_ctx(codec, params, sym, cdf_y, cdf_c, precision)
+    else:
+        streams = encode_latent(sym, cdf_y, cdf_c, precision)
     header = ContainerHeader(
         model_id=codec.cfg.codec.model_id,
         colorspace=codec.colorspace.name,
@@ -80,6 +211,7 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
         orig_w=rgb_u8.shape[1],
         lat_h=sym.shape[0],
         lat_w=sym.shape[1],
+        passes=2 if ctx else 1,
     )
     blob = pack_container(header, streams)
     if password is not None:
@@ -103,8 +235,14 @@ def decompress_image(codec, params, data: bytes, tables=None,
         tables = build_tables(codec, params)
     cdf_y, cdf_c = tables
     precision = codec.cfg.entropy.cdf_precision
-    sym = decode_latent(
-        streams, (header.lat_h, header.lat_w), cdf_y, cdf_c, precision
-    )
+    if header.passes == 2:
+        sym = decode_latent_ctx(
+            codec, params, streams, (header.lat_h, header.lat_w),
+            cdf_y, cdf_c, precision,
+        )
+    else:
+        sym = decode_latent(
+            streams, (header.lat_h, header.lat_w), cdf_y, cdf_c, precision
+        )
     rgb = codec.decode(params, sym[None], out_hw=(header.orig_h, header.orig_w))
     return np.asarray(rgb)[0]

@@ -11,7 +11,8 @@ with a single collective.
 Layout (little-endian):
     magic   4s   b"NIC1"
     version u8
-    flags   u8       (bit0: bitstream kind, 0=rans 1=png-parity)
+    flags   u8       (bit0: bitstream kind, 0=rans 1=png-parity;
+                      bit1: two-pass checkerboard-context streams)
     model_id        u8 length + utf-8 bytes
     colorspace      u8 length + utf-8 bytes
     levels  u16     quantizer levels
@@ -19,8 +20,10 @@ Layout (little-endian):
     orig_h  u32, orig_w u32        original image size (crop target)
     lat_h   u32, lat_w  u32        full latent spatial size
     n_planes u8, n_tiles u16
-    per stream (n_planes * n_tiles): u32 byte length
-    stream bytes, concatenated in (tile-major, plane-minor) order
+    per stream (n_planes * n_tiles * passes): u32 byte length
+    stream bytes, concatenated in (tile-major, plane-minor, pass-minor)
+    order; passes = 2 when flags bit1 is set (anchor stream then context
+    stream per plane), else 1
 """
 from __future__ import annotations
 
@@ -44,16 +47,20 @@ class ContainerHeader:
     n_planes: int = 3
     n_tiles: int = 1
     kind: str = "rans"  # 'rans' | 'png'
+    passes: int = 1     # 2 = checkerboard context (anchor + conditional)
 
 
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
-    if len(streams) != header.n_planes * header.n_tiles:
-        raise ValueError(
-            f"expected {header.n_planes * header.n_tiles} streams, got {len(streams)}"
-        )
+    expected = header.n_planes * header.n_tiles * header.passes
+    if len(streams) != expected:
+        raise ValueError(f"expected {expected} streams, got {len(streams)}")
     mid = header.model_id.encode()
     cs = header.colorspace.encode()
     flags = 1 if header.kind == "png" else 0
+    if header.passes == 2:
+        flags |= 2
+    elif header.passes != 1:
+        raise ValueError(f"unsupported passes {header.passes}")
     parts = [
         MAGIC,
         struct.pack("<BB", VERSION, flags),
@@ -96,7 +103,8 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         "<HHIIIIBH", data, pos
     )
     pos += struct.calcsize("<HHIIIIBH")
-    n_streams = n_planes * n_tiles
+    passes = 2 if flags & 2 else 1
+    n_streams = n_planes * n_tiles * passes
     lengths = struct.unpack_from(f"<{n_streams}I", data, pos)
     pos += 4 * n_streams
     streams = []
@@ -117,5 +125,6 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         n_planes=n_planes,
         n_tiles=n_tiles,
         kind="png" if flags & 1 else "rans",
+        passes=passes,
     )
     return header, streams

@@ -54,6 +54,17 @@ def _load() -> ctypes.CDLL | None:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             u32p, ctypes.c_int32, u8p,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.rans_encode_indexed.restype = ctypes.c_int64
+        lib.rans_encode_indexed.argtypes = [
+            u8p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u32p, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.rans_decode_indexed.restype = ctypes.c_int64
+        lib.rans_decode_indexed.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int32, u32p, ctypes.c_int32, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -130,6 +141,122 @@ def decode(data: bytes, n: int, cdf: np.ndarray, precision: int = 16) -> np.ndar
     )
     if r != n:
         raise RuntimeError("rans_decode failed (malformed stream?)")
+    return out
+
+
+# ------------------------------------------------------------ indexed variant
+
+
+def _check_indexed(symbols, index, cdf, precision):
+    flat = np.ascontiguousarray(symbols, np.uint8).reshape(-1)
+    idx = np.ascontiguousarray(index, np.int32).reshape(-1)
+    cdf = np.ascontiguousarray(cdf, np.uint32)
+    if idx.size != flat.size:
+        raise ValueError("index must have one entry per symbol")
+    if cdf.ndim != 2:
+        raise ValueError("cdf must be [rows, L+1]")
+    if (cdf[:, -1] != (1 << precision)).any():
+        raise ValueError("cdf[:, -1] must equal 1 << precision")
+    if idx.size and (idx.min() < 0 or idx.max() >= cdf.shape[0]):
+        raise ValueError("index out of range")
+    return flat, idx, cdf
+
+
+def encode_indexed(symbols: np.ndarray, index: np.ndarray, cdf: np.ndarray,
+                   precision: int = 16) -> bytes:
+    """Encode uint8 symbols where symbol i uses CDF row ``index[i]`` —
+    the conditional-coding path (context model scale bins)."""
+    flat, idx, cdf = _check_indexed(symbols, index, cdf, precision)
+    lib = _load()
+    if lib is None:
+        return encode_indexed_py(flat, idx, cdf, precision)
+    levels = cdf.shape[1] - 1
+    for cap in (flat.size + (flat.size >> 1) + 64, flat.size * 3 + 64):
+        out = np.empty(cap, np.uint8)
+        n = lib.rans_encode_indexed(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flat.size, cdf.shape[0], levels,
+            cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            precision,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+    raise RuntimeError("rans_encode_indexed failed")
+
+
+def decode_indexed(data: bytes, index: np.ndarray, cdf: np.ndarray,
+                   precision: int = 16) -> np.ndarray:
+    """Decode len(index) symbols, symbol i from CDF row ``index[i]``."""
+    idx = np.ascontiguousarray(index, np.int32).reshape(-1)
+    cdf = np.ascontiguousarray(cdf, np.uint32)
+    lib = _load()
+    if lib is None:
+        return decode_indexed_py(data, idx, cdf, precision)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(idx.size, np.uint8)
+    r = lib.rans_decode_indexed(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size, idx.size,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cdf.shape[0], cdf.shape[1] - 1,
+        cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        precision,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if r != idx.size:
+        raise RuntimeError("rans_decode_indexed failed (malformed stream?)")
+    return out
+
+
+def encode_indexed_py(symbols, index, cdf, precision: int = 16) -> bytes:
+    """Pure-python twin; byte-identical to the C++ indexed encoder."""
+    flat, idx, cdf = _check_indexed(symbols, index, cdf, precision)
+    out = bytearray()
+    state = _STATE_LOWER_BOUND
+    for i in range(flat.size - 1, -1, -1):
+        row = int(idx[i])
+        s = int(flat[i])
+        start = int(cdf[row, s])
+        freq = int(cdf[row, s + 1]) - start
+        x_max = ((_STATE_LOWER_BOUND >> precision) << 8) * freq
+        while state >= x_max:
+            out.append(state & 0xFF)
+            state >>= 8
+        state = ((state // freq) << precision) + (state % freq) + start
+    head = bytes(
+        [state & 0xFF, (state >> 8) & 0xFF, (state >> 16) & 0xFF, (state >> 24) & 0xFF]
+    )
+    return head + bytes(reversed(out))
+
+
+def decode_indexed_py(data: bytes, index, cdf, precision: int = 16) -> np.ndarray:
+    idx = np.asarray(index, np.int32).reshape(-1)
+    cdf = np.asarray(cdf, np.uint32)
+    mask = (1 << precision) - 1
+    state = int.from_bytes(data[:4], "little")
+    pos = 4
+    out = np.empty(idx.size, np.uint8)
+    luts = {}
+    for row in np.unique(idx):
+        lut = np.zeros(1 << precision, np.uint8)
+        bounds = cdf[row]
+        for s in range(cdf.shape[1] - 1):
+            lut[bounds[s] : bounds[s + 1]] = s
+        luts[int(row)] = lut
+    for i in range(idx.size):
+        row = int(idx[i])
+        slot = state & mask
+        s = int(luts[row][slot])
+        out[i] = s
+        start = int(cdf[row, s])
+        freq = int(cdf[row, s + 1]) - start
+        state = freq * (state >> precision) + slot - start
+        while state < _STATE_LOWER_BOUND:
+            state = (state << 8) | data[pos]
+            pos += 1
     return out
 
 

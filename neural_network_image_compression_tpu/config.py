@@ -63,6 +63,15 @@ class EntropyConfig:
     regressor_target: str = "factorized" # 'factorized' | 'png' (parity mode)
     tail_mass: float = 1e-9              # probability floor for coding tables
     cdf_precision: int = 16              # fixed-point bits of the rANS tables
+    # Spatial context model (factorized kind only). 'checkerboard' codes
+    # anchor positions with the factorized density and the other half
+    # conditionally (Gaussian, mean/scale from a conv over the anchors) —
+    # two parallel passes, no autoregressive scan (TPU-friendly).
+    context: str = "none"                # 'none' | 'checkerboard'
+    context_hidden: int = 96             # conv width of the context net
+    scale_bins: int = 64                 # conditional-Gaussian CDF rows
+    scale_min: float = 0.11              # sigma range (symbol units)
+    scale_max: float = 256.0
 
 
 @dataclass(frozen=True)

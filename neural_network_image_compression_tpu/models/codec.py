@@ -26,8 +26,11 @@ import jax.numpy as jnp
 from neural_network_image_compression_tpu.config import Config
 from neural_network_image_compression_tpu.models.autoencoder import make_transforms
 from neural_network_image_compression_tpu.models.entropy import (
+    CheckerboardContext,
     EntropyRegressor,
     FactorizedEntropyModel,
+    checkerboard_mask,
+    conditional_gaussian_bits,
 )
 from neural_network_image_compression_tpu.ops import colorspace as cspace
 from neural_network_image_compression_tpu.ops.quantize import dequantize, quantize
@@ -60,6 +63,20 @@ class NeuralCodec:
             self.entropy_y = EntropyRegressor()
             self.entropy_c = None  # regressor is shared across planes, like the
             # reference's single Entropynet (tf2_0/src/training.py:50)
+        self.context_y = self.context_c = None
+        if (
+            cfg.entropy.kind == "factorized"
+            and cfg.entropy.context == "checkerboard"
+        ):
+            mk = lambda: CheckerboardContext(
+                channels=self.latent_channels,
+                hidden=cfg.entropy.context_hidden,
+                levels=self.levels,
+                scale_min=cfg.entropy.scale_min,
+                scale_max=cfg.entropy.scale_max,
+            )
+            self.context_y = mk()
+            self.context_c = mk()
 
     # ------------------------------------------------------------------ init
 
@@ -80,6 +97,10 @@ class NeuralCodec:
             params["entropy_c"] = self.entropy_c.init(k_ec, latent)["params"]
         else:
             params["entropy_y"] = self.entropy_y.init(k_ey, latent)["params"]
+        if self.context_y is not None:
+            k_cy, k_cc = jax.random.split(jax.random.fold_in(rng, 7))
+            params["context_y"] = self.context_y.init(k_cy, latent)["params"]
+            params["context_c"] = self.context_c.init(k_cc, latent)["params"]
         return params
 
     # ------------------------------------------------------- plane transforms
@@ -193,6 +214,38 @@ class NeuralCodec:
 
     # ------------------------------------------------------------------ rate
 
+    def _context_input(self, z_sym: jnp.ndarray) -> jnp.ndarray:
+        """Mask to anchors and normalize to [-1, 1] (the context net's input
+        convention). z_sym: [M,h,w,C] symbol-unit values."""
+        mask = checkerboard_mask(z_sym.shape[1], z_sym.shape[2], z_sym.dtype)
+        return (z_sym / (self.levels - 1) - 0.5) * 2.0 * mask
+
+    def context_params(self, params: Params, which: str,
+                       z_sym: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Conditional Gaussian (mean, scale) [M,h,w,C] in symbol units for a
+        plane batch, computed from its anchor positions only. ``which`` is
+        'y' or 'c' (Cb and Cr share the 'c' net, like the transforms)."""
+        mod = self.context_y if which == "y" else self.context_c
+        if mod is None:
+            raise TypeError("context_params requires entropy.context='checkerboard'")
+        return mod.apply(
+            {"params": params[f"context_{which}"]}, self._context_input(z_sym)
+        )
+
+    def plane_bits(self, params: Params, which: str,
+                   z_sym: jnp.ndarray) -> jnp.ndarray:
+        """Differentiable bits [M,h,w,C] for one plane batch in symbol units:
+        factorized everywhere when context='none'; with the checkerboard
+        context, factorized at anchors + conditional Gaussian elsewhere."""
+        ent = self.entropy_y if which == "y" else self.entropy_c
+        bits_f = ent.apply({"params": params[f"entropy_{which}"]}, z_sym)
+        if self.context_y is None:
+            return bits_f
+        mask = checkerboard_mask(z_sym.shape[1], z_sym.shape[2], z_sym.dtype)
+        mean, scale = self.context_params(params, which, z_sym)
+        bits_ctx = conditional_gaussian_bits(z_sym, mean, scale)
+        return bits_f * mask + bits_ctx * (1.0 - mask)
+
     def latent_bits(self, params: Params, latents_sym_units: jnp.ndarray) -> jnp.ndarray:
         """Differentiable bits per element for [N,h,w,3C] symbol-grid values
         (factorized entropy model only). Returns [N,h,w,3C]."""
@@ -200,14 +253,12 @@ class NeuralCodec:
             raise TypeError("latent_bits requires the factorized entropy model")
         cch = self.latent_channels
         n = latents_sym_units.shape[0]
-        bits_y = self.entropy_y.apply(
-            {"params": params["entropy_y"]}, latents_sym_units[..., :cch]
-        )
+        bits_y = self.plane_bits(params, "y", latents_sym_units[..., :cch])
         zc = jnp.concatenate(
             [latents_sym_units[..., cch : 2 * cch], latents_sym_units[..., 2 * cch :]],
             axis=0,
         )
-        bits_c = self.entropy_c.apply({"params": params["entropy_c"]}, zc)
+        bits_c = self.plane_bits(params, "c", zc)
         return jnp.concatenate([bits_y, bits_c[:n], bits_c[n:]], axis=3)
 
     def pmf_tables(self, params: Params) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -149,3 +149,79 @@ class FactorizedEntropyModel(nn.Module):
         pmf = pmf.at[:, 0].add(lower[:, 0])
         pmf = pmf.at[:, -1].add(1.0 - upper[:, -1])
         return jnp.maximum(pmf, 0.0)
+
+
+# --------------------------------------------------- spatial context modeling
+
+
+def checkerboard_mask(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[h, w, 1] mask, 1 at anchor positions ((i + j) even), 0 elsewhere.
+
+    Two-pass checkerboard context (He et al., CVPR 2021 pattern): anchors are
+    coded with the factorized model; non-anchors are coded conditionally on
+    the decoded anchors. Both passes are full-grid convolutions — no
+    autoregressive scan — so encode AND decode stay one jitted TPU program
+    each, unlike raster-order context models.
+    """
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    return (((ii + jj) % 2) == 0).astype(dtype)[..., None]
+
+
+class CheckerboardContext(nn.Module):
+    """Conditional Gaussian parameters for non-anchor latents.
+
+    Input: the latent grid with non-anchor positions zeroed, values
+    normalized to [-1, 1] (symbol units / (L-1), recentred). Output: per
+    position and channel (mean, scale) of a Gaussian over SYMBOL units.
+
+    The receptive field (5x5 then two 3x3) sees 8+ anchor neighbours of every
+    non-anchor position; all convs are SAME so the parameter grid matches the
+    latent grid. This is the spatial-redundancy model the factorized density
+    cannot express — it is what lets the rANS bitstream beat the reference's
+    DEFLATE (which exploits the same redundancy generically via LZ77).
+    """
+
+    channels: int
+    hidden: int = 96
+    levels: int = 256
+    scale_min: float = 0.11
+    scale_max: float = 256.0
+
+    @nn.compact
+    def __call__(self, anchors_norm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        act = lambda v: nn.leaky_relu(v, negative_slope=0.2)
+        x = act(nn.Conv(self.hidden, (5, 5), padding="SAME", name="ctx1")(anchors_norm))
+        x = act(nn.Conv(self.hidden, (3, 3), padding="SAME", name="ctx2")(x))
+        out = nn.Conv(2 * self.channels, (3, 3), padding="SAME", name="ctx3",
+                      kernel_init=nn.initializers.zeros)(x)
+        mean_off, raw_scale = jnp.split(out, 2, axis=-1)
+        center = (self.levels - 1) / 2.0
+        mean = center + mean_off * center  # symbol units
+        # Zero-init conv => raw_scale 0 => sigma starts wide (~half the range),
+        # matching an uninformative conditional before training.
+        scale = jnp.clip(
+            jax.nn.softplus(raw_scale + _softplus_inv(64.0)),
+            self.scale_min,
+            self.scale_max,
+        )
+        return mean, scale
+
+
+def _softplus_inv(y: float) -> float:
+    return float(np.log(np.expm1(y)))
+
+
+def conditional_gaussian_bits(z_sym: jnp.ndarray, mean: jnp.ndarray,
+                              scale: jnp.ndarray) -> jnp.ndarray:
+    """Bits for (possibly noisy) symbol-grid values under N(mean, scale^2)
+    integrated over the unit quantization bin. All args broadcastable
+    [..., C]; returns bits [..., C]. Matches the coding tables' discretized
+    Gaussian (coding/cdf.py gaussian_scale_cdfs) up to scale-bin rounding."""
+    d = (z_sym - mean) / scale
+    half = 0.5 / scale
+    # Stable: evaluate both CDF points on the tail side via |d|.
+    upper = jax.scipy.special.ndtr(half - jnp.abs(d))
+    lower = jax.scipy.special.ndtr(-half - jnp.abs(d))
+    likelihood = jnp.maximum(upper - lower, LIKELIHOOD_FLOOR)
+    return -jnp.log2(likelihood)

@@ -147,8 +147,10 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
 
         aux_loss = jnp.zeros(())
         if factorized:
-            bits_y = codec.entropy_y.apply({"params": params["entropy_y"]}, z_y)
-            bits_c = codec.entropy_c.apply({"params": params["entropy_c"]}, z_c)
+            # plane_bits routes through the checkerboard context model when
+            # enabled (factorized bits at anchors, conditional elsewhere).
+            bits_y = codec.plane_bits(params, "y", z_y)
+            bits_c = codec.plane_bits(params, "c", z_c)
             bpp_y = jnp.sum(bits_y, axis=(1, 2, 3)) / hw_pixels       # [N]
             bpp_c = jnp.sum(bits_c, axis=(1, 2, 3)) / hw_pixels       # [2N]
             rate_y, rate_c = bpp_y, bpp_c

@@ -1,0 +1,192 @@
+"""Checkerboard spatial-context entropy model: coder, bits, bitstream,
+training integration.
+
+No reference analogue (the reference's entropy coding is PNG/DEFLATE,
+tf2_0/src/utils.py:87); this is the TPU-native spatial-redundancy model that
+lets the rANS bitstream beat DEFLATE on the same latents.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_network_image_compression_tpu.coding import cdf as cdf_mod
+from neural_network_image_compression_tpu.coding import rans
+from neural_network_image_compression_tpu.coding.codec_stream import (
+    build_tables,
+    compress_image,
+    decode_latent_ctx,
+    decompress_image,
+    encode_latent_ctx,
+)
+from neural_network_image_compression_tpu.coding.container import unpack_container
+from neural_network_image_compression_tpu.config import Config, EntropyConfig
+from neural_network_image_compression_tpu.models import NeuralCodec
+from neural_network_image_compression_tpu.models.entropy import (
+    checkerboard_mask,
+    conditional_gaussian_bits,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx_codec():
+    cfg = Config(entropy=EntropyConfig(context="checkerboard"))
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0), (64, 64))
+    return codec, params
+
+
+class TestIndexedCoder:
+    def test_roundtrip_and_cpp_python_parity(self):
+        rng = np.random.default_rng(0)
+        cdf = cdf_mod.quantize_pmf(rng.random((5, 256)) + 1e-3, 16)
+        sym = rng.integers(0, 256, 4000).astype(np.uint8)
+        idx = rng.integers(0, 5, 4000).astype(np.int32)
+        blob = rans.encode_indexed(sym, idx, cdf)
+        assert blob == rans.encode_indexed_py(sym, idx, cdf)
+        np.testing.assert_array_equal(rans.decode_indexed(blob, idx, cdf), sym)
+        np.testing.assert_array_equal(rans.decode_indexed_py(blob, idx, cdf), sym)
+
+    def test_skewed_rows_compress(self):
+        # A near-deterministic conditional should code far below 8 bits/sym.
+        pmf = np.full((1, 256), 1e-6)
+        pmf[0, 100:104] = 0.25
+        cdf = cdf_mod.quantize_pmf(pmf, 16)
+        sym = np.random.default_rng(1).integers(100, 104, 10000).astype(np.uint8)
+        idx = np.zeros(10000, np.int32)
+        blob = rans.encode_indexed(sym, idx, cdf)
+        assert len(blob) < 10000 * 3 // 8  # < 3 bits/symbol
+
+    def test_index_out_of_range_rejected(self):
+        cdf = cdf_mod.quantize_pmf(np.ones((2, 256)), 16)
+        with pytest.raises(ValueError):
+            rans.encode_indexed(
+                np.zeros(4, np.uint8), np.array([0, 1, 2, 0], np.int32), cdf
+            )
+
+
+class TestScaleTables:
+    def test_rows_are_valid_cdfs(self):
+        table = cdf_mod.make_scale_table(64, 0.11, 256.0)
+        cdfs = cdf_mod.gaussian_scale_cdfs(table, 256, 16)
+        assert cdfs.shape == (64, 257)
+        assert (cdfs[:, -1] == 1 << 16).all()
+        assert (np.diff(cdfs.astype(np.int64), axis=1) >= 1).all()
+
+    def test_tight_scale_concentrates_at_center(self):
+        table = cdf_mod.make_scale_table(64, 0.11, 256.0)
+        cdfs = cdf_mod.gaussian_scale_cdfs(table, 256, 16)
+        freq0 = np.diff(cdfs[0].astype(np.int64))
+        assert freq0[128] > 0.95 * (1 << 16)
+
+
+class TestConditionalBits:
+    def test_exact_mean_tight_scale_near_zero_bits(self):
+        b = conditional_gaussian_bits(
+            jnp.asarray(42.0), jnp.asarray(42.0), jnp.asarray(0.11)
+        )
+        assert float(b) < 1e-3
+
+    def test_wide_scale_near_uniform(self):
+        b = conditional_gaussian_bits(
+            jnp.asarray(127.0), jnp.asarray(127.5), jnp.asarray(256.0)
+        )
+        assert 8.0 < float(b) < 10.5  # ~ -log2(bin/width) ≈ 9.3
+
+    def test_mask_shape(self):
+        m = checkerboard_mask(5, 6)
+        assert m.shape == (5, 6, 1)
+        assert float(m[0, 0, 0]) == 1.0 and float(m[0, 1, 0]) == 0.0
+        # exact half split on even grids
+        assert float(checkerboard_mask(4, 4).sum()) == 8.0
+
+
+class TestCheckerboardBitstream:
+    def test_latent_roundtrip_bit_exact(self, ctx_codec):
+        codec, params = ctx_codec
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        sym = np.asarray(codec.encode(params, img[None]))[0]
+        tables = build_tables(codec, params)
+        streams = encode_latent_ctx(codec, params, sym, *tables, 16)
+        assert len(streams) == 6
+        out = decode_latent_ctx(
+            codec, params, streams, sym.shape[:2], *tables, 16
+        )
+        np.testing.assert_array_equal(sym, out)
+
+    def test_container_roundtrip_and_passes_flag(self, ctx_codec):
+        codec, params = ctx_codec
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)
+        tables = build_tables(codec, params)
+        blob = compress_image(codec, params, img, tables=tables)
+        hdr, _ = unpack_container(blob)
+        assert hdr.passes == 2
+        recon = decompress_image(codec, params, blob, tables=tables)
+        ref = np.asarray(
+            codec.decode(
+                params, codec.encode(params, img[None]), out_hw=img.shape[:2]
+            )
+        )[0]
+        np.testing.assert_array_equal(recon, ref)
+
+    def test_odd_latent_grid(self, ctx_codec):
+        # odd h x w latent => unequal anchor/non-anchor counts
+        codec, params = ctx_codec
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (72, 104, 3), dtype=np.uint8)  # 9x13 latent
+        sym = np.asarray(codec.encode(params, img[None]))[0]
+        assert sym.shape[0] % 2 == 1 and sym.shape[1] % 2 == 1
+        tables = build_tables(codec, params)
+        streams = encode_latent_ctx(codec, params, sym, *tables, 16)
+        out = decode_latent_ctx(codec, params, streams, sym.shape[:2], *tables, 16)
+        np.testing.assert_array_equal(sym, out)
+
+
+class TestTrainingIntegration:
+    def test_plane_bits_matches_factorized_at_anchors(self, ctx_codec):
+        codec, params = ctx_codec
+        z = jnp.asarray(
+            np.random.default_rng(5).uniform(0, 255, (2, 8, 8, 32)), jnp.float32
+        )
+        bits = codec.plane_bits(params, "y", z)
+        bits_f = codec.entropy_y.apply({"params": params["entropy_y"]}, z)
+        mask = checkerboard_mask(8, 8)
+        np.testing.assert_allclose(
+            np.asarray(bits * mask), np.asarray(bits_f * mask), rtol=1e-6
+        )
+
+    def test_context_grads_flow(self):
+        from neural_network_image_compression_tpu.config import (
+            DataConfig,
+            TrainConfig,
+        )
+        from neural_network_image_compression_tpu.training import (
+            init_train_state,
+            make_train_step,
+        )
+
+        cfg = Config(
+            entropy=EntropyConfig(context="checkerboard"),
+            data=DataConfig(patch_size=32),
+            train=TrainConfig(batch_size=2),
+        )
+        codec = NeuralCodec(cfg)
+        state = init_train_state(codec, jax.random.key(0), cfg)
+        step = jax.jit(make_train_step(codec, cfg))
+        batch = np.random.default_rng(6).integers(
+            0, 256, (2, 32, 32, 3), dtype=np.uint8
+        )
+        state2, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # context params must receive gradient (i.e. change under Adam)
+        for k in ("context_y", "context_c"):
+            before = jax.tree_util.tree_leaves(state.params[k])
+            after = jax.tree_util.tree_leaves(state2.params[k])
+            assert any(
+                not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(before, after)
+            ), f"no gradient reached {k}"
