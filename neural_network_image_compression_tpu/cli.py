@@ -77,6 +77,12 @@ def _build_config(args) -> "Config":
             rd_lambda=args.rd_lambda,
             rd_lambda_step=args.rd_lambda_step,
             distortion=args.distortion,
+            freeze_transforms=getattr(args, "freeze_transforms", False),
+            **(
+                {"val_every_steps": args.val_every_steps}
+                if getattr(args, "val_every_steps", None) is not None
+                else {}
+            ),
         ),
         codec=dataclasses.replace(cfg.codec, bitstream=args.bitstream),
     )
@@ -105,7 +111,15 @@ def main(argv: list[str] | None = None) -> int:
                          help="spatial context model for the rate path")
     p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
     p_train.add_argument("--max-steps", type=int, default=None)
+    p_train.add_argument("--val-every-steps", type=int, default=None,
+                         dest="val_every_steps",
+                         help="override validation cadence (steps)")
     p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--init-from", default=None, dest="init_from",
+                         help="warm-start params from another run dir")
+    p_train.add_argument("--freeze-transforms", action="store_true",
+                         dest="freeze_transforms",
+                         help="train only the entropy/context nets")
     p_train.add_argument("--reference-faithful", action="store_true")
     p_train.add_argument("--data-parallel", type=int, default=0,
                          help="shard training over N devices (0 = single device)")
@@ -154,7 +168,11 @@ def main(argv: list[str] | None = None) -> int:
 
             mesh = make_mesh(data=args.data_parallel)
         trainer = Trainer(cfg, run_dir=args.run_dir, mesh=mesh)
-        trainer.fit(max_steps=args.max_steps, resume=args.resume)
+        trainer.fit(
+            max_steps=args.max_steps,
+            resume=args.resume,
+            init_from=args.init_from,
+        )
         return 0
 
     if args.cmd == "compress":

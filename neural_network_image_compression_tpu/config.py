@@ -107,6 +107,10 @@ class TrainConfig:
     gate_min_ms_ssim: float | None = None    # validation MS-SSIM floor
     profile_dir: str | None = None           # jax.profiler trace output
     val_artifacts: bool = True               # dump side-by-side + latent viz
+    freeze_transforms: bool = False          # train only the rate side (entropy
+                                             # + context nets); use with a
+                                             # warm start to re-fit the coder
+                                             # to an existing codec
 
 
 @dataclass(frozen=True)

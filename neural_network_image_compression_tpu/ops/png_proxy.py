@@ -26,6 +26,18 @@ def _host_png_bpp(packed: np.ndarray, tot_pixels: np.ndarray) -> np.ndarray:
     return (8.0 * sizes / float(tot_pixels)).reshape(-1, 1)
 
 
+def png_bpp_host(latent: np.ndarray, tot_pixels: int) -> np.ndarray:
+    """Host-side twin of :func:`png_bpp` for platforms whose PJRT plugin has
+    no host-callback support (the axon TPU tunnel): [N,h,w,C] float latents
+    -> [N,1] bpp, byte-identical rate definition. The trainer computes the
+    latents with a small jitted forward (same flip RNG as the train step) and
+    feeds the resulting target back in as a step input."""
+    sym = np.round(np.clip(np.asarray(latent), 0.0, 1.0) * 255.0).astype(np.uint8)
+    n, h, w, c = sym.shape
+    packed = sym.reshape(n, h * 4, w * (c // 4), 1)
+    return _host_png_bpp(packed, np.int32(tot_pixels))
+
+
 def png_bpp(latent: jnp.ndarray, tot_pixels: int) -> jnp.ndarray:
     """[N,h,w,C] float latent in [0,1] -> [N,1] PNG-bits-per-pixel.
 

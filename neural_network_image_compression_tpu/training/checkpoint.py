@@ -84,3 +84,44 @@ def load_params(template_params: Any, directory: str) -> Any:
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_params)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, abstract)
+
+
+def load_run_params(run_dir: str):
+    """Latest checkpoint params of another training run (its own config)."""
+    import jax
+
+    from neural_network_image_compression_tpu.config import Config
+    from neural_network_image_compression_tpu.models.codec import NeuralCodec
+    from neural_network_image_compression_tpu.training.train_step import (
+        init_train_state,
+    )
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    codec = NeuralCodec(cfg)
+    store = CheckpointStore(os.path.join(run_dir, "checkpoints"))
+    template = init_train_state(codec, jax.random.key(0), cfg)
+    restored = store.restore(template)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {run_dir}/checkpoints")
+    state, _ = restored
+    return jax.device_get(state.params)
+
+
+def warm_start(params, donor_run_dir: str):
+    """Copy param groups that exist in both trees from another run's latest
+    checkpoint (matching subtree structure required); leave the rest (e.g.
+    freshly-added context nets) at their init."""
+    donor = load_run_params(donor_run_dir)
+    out = dict(params)
+    copied = []
+    for k in params:
+        if k in donor:
+            a = jax.tree_util.tree_structure(params[k])
+            b = jax.tree_util.tree_structure(donor[k])
+            if a == b:
+                out[k] = donor[k]
+                copied.append(k)
+    if not copied:
+        raise ValueError(f"no overlapping param groups with {donor_run_dir}")
+    return out, copied

@@ -108,7 +108,9 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
     levels = cfg.quantizer.levels
     cch = codec.latent_channels
 
-    def loss_fn(params, batch_u8, key, rd_lambda):
+    needs_rate_target = (not factorized) and cfg.entropy.regressor_target == "png"
+
+    def loss_fn(params, batch_u8, key, rd_lambda, rate_target=None):
         n = batch_u8.shape[0]
         hw_pixels = batch_u8.shape[1] * batch_u8.shape[2]
         k_aug, k_noise_y, k_noise_c, k_rate = jax.random.split(key, 4)
@@ -157,9 +159,11 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
         else:
             # Reference-faithful Entropynet path. Main loss uses predictions
             # with regressor params frozen; regressor trains on MSE with the
-            # encoder frozen (reference's two-tape structure).
-            from neural_network_image_compression_tpu.ops.png_proxy import png_bpp
-
+            # encoder frozen (reference's two-tape structure). The PNG target
+            # is computed on the HOST between dispatches (make_rate_latents_fn
+            # + ops.png_proxy.png_bpp_host) and passed in as ``rate_target``
+            # — the axon TPU plugin has no host-callback support, and hoisting
+            # the host work out of the jit keeps the step a pure XLA program.
             lat_all = jnp.concatenate([lat_y, lat_c], axis=0)
             frozen = jax.lax.stop_gradient(params["entropy_y"])
             pred_main = codec.entropy_y.apply({"params": frozen}, lat_all)  # [3N,1]
@@ -168,13 +172,12 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
             pred_aux = codec.entropy_y.apply(
                 {"params": params["entropy_y"]}, jax.lax.stop_gradient(lat_all)
             )
-            if cfg.entropy.regressor_target == "png":
-                target = png_bpp(jax.lax.stop_gradient(lat_all), hw_pixels)
-            else:
+            if rate_target is None:
                 raise ValueError(
-                    "regressor mode requires regressor_target='png' "
-                    "(no factorized model present to provide bits)"
+                    "regressor mode requires the PNG rate target as a step "
+                    "input: train_step(state, batch, key, rate_target)"
                 )
+            target = rate_target
             aux_loss = jnp.mean((pred_aux - target) ** 2)
             bpp_y, bpp_c = target[:n, 0], target[n:, 0]
 
@@ -204,10 +207,21 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
             metrics["ssim_cr"] = 1.0 - 2.0 * jnp.mean(d_c[n:])
         return total, metrics
 
-    def train_step(state: TrainState, batch_u8: jnp.ndarray, key: jax.Array):
+    def _step(state, batch_u8, key, rate_target):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch_u8, key, state.rd_lambda
+            state.params, batch_u8, key, state.rd_lambda, rate_target
         )
+        if cfg.train.freeze_transforms:
+            # Zero transform grads: with per-parameter Adam this exactly
+            # freezes analysis/synthesis while the rate side keeps training.
+            grads = {
+                k: (
+                    jax.tree_util.tree_map(jnp.zeros_like, v)
+                    if k.startswith(("analysis", "synthesis"))
+                    else v
+                )
+                for k, v in grads.items()
+            }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -218,4 +232,32 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
         )
         return new_state, metrics
 
+    if needs_rate_target:
+        def train_step(state: TrainState, batch_u8, key, rate_target):
+            return _step(state, batch_u8, key, rate_target)
+    else:
+        def train_step(state: TrainState, batch_u8, key):
+            return _step(state, batch_u8, key, None)
+    train_step.needs_rate_target = needs_rate_target
     return train_step
+
+
+def make_rate_latents_fn(codec: NeuralCodec, cfg: Config) -> Callable:
+    """Jittable (params, batch_u8, key) -> clean latents [3N,h,w,C] with the
+    SAME flip augmentation as the train step (identical key split), so the
+    host-computed PNG rate target matches the latents inside the step."""
+    cs = codec.colorspace
+
+    def f(params, batch_u8, key):
+        k_aug, _, _, _ = jax.random.split(key, 4)
+        x = batch_u8.astype(jnp.float32) / 255.0
+        if cfg.train.augment_flips:
+            x = _random_flips(x, k_aug)
+        planes = cspace.rgb_to_planes(x, cs)
+        plane_y = planes[..., 0:1]
+        plane_c = jnp.concatenate([planes[..., 1:2], planes[..., 2:3]], axis=0)
+        lat_y = codec.analysis.apply({"params": params["analysis_y"]}, plane_y)
+        lat_c = codec.analysis.apply({"params": params["analysis_c"]}, plane_c)
+        return jnp.concatenate([lat_y, lat_c], axis=0)
+
+    return f

@@ -27,6 +27,7 @@ from neural_network_image_compression_tpu.training.checkpoint import CheckpointS
 from neural_network_image_compression_tpu.training.train_step import (
     TrainState,
     init_train_state,
+    make_rate_latents_fn,
     make_train_step,
 )
 
@@ -63,15 +64,24 @@ class Trainer:
         self._metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
 
         step_fn = make_train_step(self.codec, cfg)
+        self._needs_rate_target = getattr(step_fn, "needs_rate_target", False)
+        self._rate_latents = (
+            jax.jit(make_rate_latents_fn(self.codec, cfg))
+            if self._needs_rate_target
+            else None
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             replicated = NamedSharding(mesh, P())
             batch_sharding = NamedSharding(mesh, P("data"))
             self.batch_sharding = batch_sharding
+            in_sh = (replicated, batch_sharding, replicated)
+            if self._needs_rate_target:
+                in_sh = in_sh + (replicated,)
             self.train_step = jax.jit(
                 step_fn,
-                in_shardings=(replicated, batch_sharding, replicated),
+                in_shardings=in_sh,
                 out_shardings=(replicated, replicated),
                 donate_argnums=(0,),
             )
@@ -103,6 +113,7 @@ class Trainer:
         train_images: np.ndarray | None = None,
         max_steps: int | None = None,
         resume: bool = False,
+        init_from: str | None = None,
     ) -> TrainState:
         cfg = self.cfg
         if train_images is None:
@@ -110,6 +121,16 @@ class Trainer:
         dataset = PatchDataset(train_images, cfg.train.batch_size, cfg.train.seed)
 
         state = self.init_state()
+        if init_from and not resume:
+            from neural_network_image_compression_tpu.training.checkpoint import (
+                warm_start,
+            )
+
+            params, copied = warm_start(jax.device_get(state.params), init_from)
+            state = state._replace(params=jax.device_put(params))
+            if self._replicated is not None:
+                state = jax.device_put(state, self._replicated)
+            print(f"warm start from {init_from}: copied {copied}")
         start_epoch = 0
         if resume:
             restored = self.store.restore(state)
@@ -137,7 +158,24 @@ class Trainer:
                 # Profile a short window once compilation has settled.
                 if cfg.train.profile_dir and steps_done == 10:
                     jax.profiler.start_trace(cfg.train.profile_dir)
-                state, metrics = self.train_step(state, batch, sub)
+                if self._needs_rate_target:
+                    # Reference-faithful PNG rate target, host-computed
+                    # between dispatches (no host callbacks on this platform).
+                    from neural_network_image_compression_tpu.ops.png_proxy import (
+                        png_bpp_host,
+                    )
+
+                    lat = jax.device_get(
+                        self._rate_latents(state.params, batch, sub)
+                    )
+                    target = png_bpp_host(
+                        lat, batch.shape[1] * batch.shape[2]
+                    )
+                    state, metrics = self.train_step(
+                        state, batch, sub, jnp.asarray(target)
+                    )
+                else:
+                    state, metrics = self.train_step(state, batch, sub)
                 if cfg.train.profile_dir and steps_done == 15:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()

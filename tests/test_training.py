@@ -1,6 +1,7 @@
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -102,8 +103,9 @@ def test_checkpoint_round_trip(tiny_images, tmp_path):
 
 
 def test_reference_faithful_regressor_step(tiny_images):
-    """Entropynet + PNG-target mode (reference tf2_0 semantics) must run and
-    produce finite losses through the host callback."""
+    """Entropynet + PNG-target mode (reference tf2_0 semantics): the PNG
+    target is host-computed from the same-RNG latents and fed in as a step
+    input (no host callbacks — the axon TPU plugin lacks them)."""
     cfg = Config(
         data=DataConfig(patch_size=16),
         train=TrainConfig(
@@ -115,8 +117,27 @@ def test_reference_faithful_regressor_step(tiny_images):
     )
     codec = NeuralCodec(cfg)
     state = init_train_state(codec, jax.random.key(0), cfg)
-    step = jax.jit(make_train_step(codec, cfg))
-    new_state, metrics = step(state, tiny_images[:2], jax.random.key(1))
+    step_fn = make_train_step(codec, cfg)
+    assert step_fn.needs_rate_target
+    from neural_network_image_compression_tpu.ops.png_proxy import png_bpp_host
+    from neural_network_image_compression_tpu.training.train_step import (
+        make_rate_latents_fn,
+    )
+
+    step = jax.jit(step_fn)
+    lat_fn = jax.jit(make_rate_latents_fn(codec, cfg))
+    batch, key = tiny_images[:2], jax.random.key(1)
+    lat = jax.device_get(lat_fn(state.params, batch, key))
+    target = png_bpp_host(lat, batch.shape[1] * batch.shape[2])
+    new_state, metrics = step(state, batch, key, jnp.asarray(target))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["aux_loss"]))
     assert float(metrics["bpp_y"]) > 0  # PNG proxy produced a real rate
+    # target matches the reference's in-graph definition (callback version)
+    from neural_network_image_compression_tpu.ops.png_proxy import png_bpp
+
+    np.testing.assert_allclose(
+        target,
+        np.asarray(png_bpp(jnp.asarray(lat), batch.shape[1] * batch.shape[2])),
+        rtol=1e-6,
+    )
