@@ -68,7 +68,8 @@ def _build_config(args) -> "Config":
         data=dataclasses.replace(cfg.data, train_dir=args.data, val_dir=args.val),
         entropy=dataclasses.replace(
             cfg.entropy,
-            context=getattr(args, "entropy_context", cfg.entropy.context),
+            context=getattr(args, "entropy_context", None)
+            or cfg.entropy.context,
         ),
         train=dataclasses.replace(
             cfg.train,
@@ -84,7 +85,9 @@ def _build_config(args) -> "Config":
                 else {}
             ),
         ),
-        codec=dataclasses.replace(cfg.codec, bitstream=args.bitstream),
+        codec=dataclasses.replace(
+            cfg.codec, bitstream=args.bitstream or cfg.codec.bitstream
+        ),
     )
     return cfg
 
@@ -105,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
                          help="lambda increment per epoch (0 = fixed lambda)")
     p_train.add_argument("--preset", choices=["base", "deep"], default="base")
     p_train.add_argument("--distortion", choices=["ssim", "ms_ssim", "mse"], default="ssim")
-    p_train.add_argument("--bitstream", choices=["rans", "png"], default="rans")
+    p_train.add_argument("--bitstream", choices=["rans", "png"], default=None,
+                         help="default: config preset's mode (rans; png when "
+                              "--reference-faithful)")
     p_train.add_argument("--entropy-context", choices=["none", "checkerboard"],
                          default="none", dest="entropy_context",
                          help="spatial context model for the rate path")
