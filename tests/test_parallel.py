@@ -124,3 +124,28 @@ def test_tiled_paths_deep_preset(rng, preset):
     whole_d = np.asarray(codec.decode(params, sym))
     tiled_d = np.asarray(tiled_decode(codec, params, jnp.asarray(sym), mesh))
     assert int((tiled_d != whole_d).sum()) == 0
+
+
+def test_tiled_bitstream_with_context_codec(rng):
+    """A context-enabled codec's TILED containers stay single-pass
+    (factorized per-tile streams; the checkerboard context applies to the
+    whole-image path) and must round-trip against the whole-image forward."""
+    from neural_network_image_compression_tpu.config import EntropyConfig
+
+    cfg = Config(entropy=EntropyConfig(context="checkerboard"))
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(3), (32, 32))
+    mesh = make_mesh(data=1, spatial=2)
+    rgb = rng.integers(0, 256, (48, 96, 3), dtype=np.uint8)
+    blob = compress_image_tiled(codec, params, rgb, mesh)
+
+    from neural_network_image_compression_tpu.coding.container import (
+        unpack_container,
+    )
+
+    assert unpack_container(blob)[0].passes == 1
+    out = decompress_image_tiled(codec, params, blob, mesh)
+    ref = np.asarray(
+        codec.decode(params, codec.encode(params, rgb[None]), out_hw=rgb.shape[:2])
+    )[0]
+    np.testing.assert_array_equal(out, ref)
