@@ -1,0 +1,82 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""R-D report across training runs.
+
+For every given run dir, measures on the validation directory:
+- the run's OWN bitstream (rans / two-pass context rans / reference PNG):
+  mean bpp, PSNR, MS-SSIM;
+- the reference's rate definition (8 * optimized-PNG bytes of the packed
+  latent / pixels) on the SAME latents — the apples-to-apples DEFLATE
+  comparison for every rANS run.
+
+Usage: python benchmarks/rd_report.py runs/l010 runs/ctxanneal ... [--val DIR]
+Prints one JSON line per run plus a markdown table.
+"""
+import argparse
+import json
+
+import numpy as np
+
+
+def report_run(run_dir: str, val_dir: str) -> dict:
+    import jax.numpy as jnp
+
+    from neural_network_image_compression_tpu.cli import _load_run
+    from neural_network_image_compression_tpu.data.io import (
+        list_images,
+        load_image,
+        png_num_bytes,
+    )
+    from neural_network_image_compression_tpu.evaluation.pipelines import rd_point
+    from neural_network_image_compression_tpu.ops import pack_planes
+
+    codec, params = _load_run(run_dir)
+    r = rd_point(codec, params, val_dir)
+    png_bpps = []
+    for name in list_images(val_dir):
+        img = load_image(os.path.join(val_dir, name))
+        if img is None:
+            continue
+        sym = np.asarray(codec.encode(params, img[None]))
+        packed = np.asarray(pack_planes(jnp.asarray(sym)))[0]
+        png_bpps.append(
+            8.0 * png_num_bytes(packed) / (img.shape[0] * img.shape[1])
+        )
+    return {
+        "run": run_dir,
+        "bitstream": codec.cfg.codec.bitstream,
+        "context": codec.cfg.entropy.context
+        if hasattr(codec.cfg.entropy, "context")
+        else "none",
+        "mean_bpp": round(r["mean_bpp"], 4),
+        "mean_psnr": round(r["mean_psnr"], 3),
+        "mean_ms_ssim": round(r["mean_ms_ssim"], 5),
+        "png_rate_same_latents_bpp": round(float(np.mean(png_bpps)), 4),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("runs", nargs="+")
+    parser.add_argument("--val", default="/root/reference/data/kodak_img")
+    args = parser.parse_args()
+    rows = []
+    for run in args.runs:
+        row = report_run(run, args.val)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print()
+    print("| run | coder | bpp | PSNR | MS-SSIM | PNG-rate same latents |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        coder = r["bitstream"] + (
+            "+ctx" if r["context"] == "checkerboard" and r["bitstream"] == "rans"
+            else ""
+        )
+        print(
+            f"| {r['run']} | {coder} | {r['mean_bpp']} | {r['mean_psnr']} "
+            f"| {r['mean_ms_ssim']} | {r['png_rate_same_latents_bpp']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
