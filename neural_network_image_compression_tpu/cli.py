@@ -108,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                          help="lambda increment per epoch (0 = fixed lambda)")
     p_train.add_argument("--preset", choices=["base", "deep"], default="base")
     p_train.add_argument("--distortion", choices=["ssim", "ms_ssim", "mse"], default="ssim")
-    p_train.add_argument("--bitstream", choices=["rans", "png"], default=None,
+    p_train.add_argument("--bitstream", choices=["rans", "png", "auto"], default=None,
                          help="default: config preset's mode (rans; png when "
                               "--reference-faithful)")
     p_train.add_argument("--entropy-context", choices=["none", "checkerboard"],

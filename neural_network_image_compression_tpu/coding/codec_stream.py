@@ -186,9 +186,32 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
     return sym
 
 
+def _png_stream(sym: np.ndarray) -> bytes:
+    """Optimized-PNG bytes of the packed 3-plane latent — the reference's
+    exact bitstream (reference tf2_0/src/utils.py:38-43), embedded as a
+    container stream so the mode decision is per image."""
+    import io
+
+    from PIL import Image
+
+    from neural_network_image_compression_tpu.ops.pack import pack_planes
+
+    packed = np.asarray(pack_planes(sym[None].astype(np.int32)))[0].astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(packed).save(buf, format="PNG", optimize=True)
+    return buf.getvalue()
+
+
 def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
-                   password: str | None = None) -> bytes:
-    """uint8 [H,W,3] -> container bytes (header + 3 rANS plane streams).
+                   password: str | None = None, mode: str | None = None) -> bytes:
+    """uint8 [H,W,3] -> container bytes.
+
+    ``mode`` (default ``codec.cfg.codec.bitstream``):
+    - 'rans': per-plane rANS streams (two-pass when the checkerboard context
+      is enabled).
+    - 'auto': also build the reference's packed-latent optimized-PNG stream
+      and emit whichever is smaller — rate <= the reference's own coder on
+      identical latents, by construction (real codecs' mode decision).
     With ``password``, the container is wrapped in the authenticated stream
     cipher from coding/crypto.py (the reference's advertised-but-missing
     encryption capability)."""
@@ -202,6 +225,13 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
         streams = encode_latent_ctx(codec, params, sym, cdf_y, cdf_c, precision)
     else:
         streams = encode_latent(sym, cdf_y, cdf_c, precision)
+    if mode is None:
+        mode = codec.cfg.codec.bitstream
+    kind, passes, n_planes = "rans", 2 if ctx else 1, 3
+    if mode == "auto":
+        png = _png_stream(sym)
+        if len(png) < sum(len(b) for b in streams):
+            streams, kind, passes, n_planes = [png], "png", 1, 1
     header = ContainerHeader(
         model_id=codec.cfg.codec.model_id,
         colorspace=codec.colorspace.name,
@@ -211,7 +241,9 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
         orig_w=rgb_u8.shape[1],
         lat_h=sym.shape[0],
         lat_w=sym.shape[1],
-        passes=2 if ctx else 1,
+        n_planes=n_planes,
+        passes=passes,
+        kind=kind,
     )
     blob = pack_container(header, streams)
     if password is not None:
@@ -231,6 +263,20 @@ def decompress_image(codec, params, data: bytes, tables=None,
             raise ValueError("container is encrypted; password required")
         data = decrypt(data, password)
     header, streams = unpack_container(data)
+    if header.kind == "png":
+        import io
+
+        from PIL import Image
+
+        from neural_network_image_compression_tpu.ops.pack import unpack_planes
+
+        packed = np.asarray(Image.open(io.BytesIO(streams[0])))
+        sym = np.asarray(unpack_planes(packed[None].astype(np.int32)))[0]
+        sym = sym.astype(np.uint8)
+        rgb = codec.decode(
+            params, sym[None], out_hw=(header.orig_h, header.orig_w)
+        )
+        return np.asarray(rgb)[0]
     if tables is None:
         tables = build_tables(codec, params)
     cdf_y, cdf_c = tables

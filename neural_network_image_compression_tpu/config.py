@@ -139,6 +139,9 @@ class CodecConfig:
 
     colorspace: str = "ycbcr"            # 'ycbcr' | 'pca'
     bitstream: str = "rans"              # 'rans' | 'png' (reference parity mode)
+                                         # | 'auto' (per-image best of rANS
+                                         # and packed-latent PNG — rate <=
+                                         # the reference coder by construction)
     tile_size: int = 0                   # 0 = whole image; else spatial tile edge
     model_id: str = "base-ycbcr-32"
 

@@ -66,7 +66,7 @@ def compress_directory(
     if output_dir is None:
         output_dir = dataset_path + "_compressed"  # reference naming
     os.makedirs(output_dir, exist_ok=True)
-    if mode == "rans" and tables is None:
+    if mode in ("rans", "auto") and tables is None:
         tables = build_tables(codec, params)
     results = []
     for name in list_images(dataset_path):
@@ -75,7 +75,7 @@ def compress_directory(
             continue
         stem = os.path.splitext(name)[0]
         pixels = img.shape[0] * img.shape[1]
-        if mode == "rans":
+        if mode in ("rans", "auto"):
             blob = compress_image(codec, params, img, tables, password=password)
             out_path = os.path.join(output_dir, stem + ".nic")
             with open(out_path, "wb") as f:
@@ -112,13 +112,13 @@ def decompress_directory(
     if output_dir is None:
         output_dir = compressed_path.replace("compressed", "uncompressed")
     os.makedirs(output_dir, exist_ok=True)
-    if mode == "rans" and tables is None:
+    if mode in ("rans", "auto") and tables is None:
         tables = build_tables(codec, params)
     written = []
     for name in sorted(os.listdir(compressed_path)):
         stem, ext = os.path.splitext(name)
         path = os.path.join(compressed_path, name)
-        if mode == "rans" and ext == ".nic":
+        if mode in ("rans", "auto") and ext == ".nic":
             with open(path, "rb") as f:
                 rgb = decompress_image(
                     codec, params, f.read(), tables, password=password
@@ -170,7 +170,7 @@ def rd_point(codec, params, val_dir: str, tables=None) -> dict:
     """In-memory rate-distortion point over a directory: mean bpp (actual
     bitstream bytes), PSNR, MS-SSIM."""
     mode = codec.cfg.codec.bitstream
-    if mode == "rans" and tables is None:
+    if mode in ("rans", "auto") and tables is None:
         tables = build_tables(codec, params)
     rows = []
     for name in list_images(val_dir):
@@ -178,7 +178,7 @@ def rd_point(codec, params, val_dir: str, tables=None) -> dict:
         if img is None:
             continue
         pixels = img.shape[0] * img.shape[1]
-        if mode == "rans":
+        if mode in ("rans", "auto"):
             blob = compress_image(codec, params, img, tables)
             num_bytes = len(blob)
             recon = decompress_image(codec, params, blob, tables)
