@@ -39,31 +39,49 @@ def timeit(fn, *args):
     return (time.perf_counter() - t0) / ITERS
 
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+def bench_preset(preset: str, batch: int, dtype) -> None:
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((batch, H, W, 1)).astype(np.float32))
-    lat = jnp.asarray(rng.random((batch, H // 8, W // 8, 32)).astype(np.float32))
+    ds = 16 if preset == "deep" else 8
+    x = jnp.asarray(rng.random((batch, H, W, 1)).astype(np.float32), dtype)
+    lat = jnp.asarray(
+        rng.random((batch, H // ds, W // ds, 32)).astype(np.float32), dtype
+    )
 
-    ana = AnalysisTransform(preset="base")
-    pa = ana.init(jax.random.key(0), x[:1])["params"]
-    syn = SynthesisTransform(preset="base")
-    ps = syn.init(jax.random.key(1), lat[:1])["params"]
+    ana = AnalysisTransform(preset=preset)
+    pa = jax.tree_util.tree_map(
+        lambda v: v.astype(dtype), ana.init(jax.random.key(0), x[:1])["params"]
+    )
+    syn = SynthesisTransform(preset=preset)
+    ps = jax.tree_util.tree_map(
+        lambda v: v.astype(dtype), syn.init(jax.random.key(1), lat[:1])["params"]
+    )
 
+    pal_a = pc.pallas_analysis_base if preset == "base" else pc.pallas_analysis_deep
+    pal_s = pc.pallas_synthesis_base if preset == "base" else pc.pallas_synthesis_deep
     t_xla_a = timeit(lambda p, v: ana.apply({"params": p}, v), pa, x)
-    t_pal_a = timeit(lambda p, v: pc.pallas_analysis_base(p, v), pa, x)
+    t_pal_a = timeit(lambda p, v: pal_a(p, v), pa, x)
     t_xla_s = timeit(lambda p, v: syn.apply({"params": p}, v), ps, lat)
-    t_pal_s = timeit(lambda p, v: pc.pallas_synthesis_base(p, v), ps, lat)
+    t_pal_s = timeit(lambda p, v: pal_s(p, v), ps, lat)
 
     def row(name, t):
-        print(f"{name:24s} {t*1e3:8.2f} ms/call  {batch/t:8.1f} img/s")
+        print(f"  {name:24s} {t*1e3:8.2f} ms/call  {batch/t:8.1f} img/s")
 
+    print(f"[{preset} preset, {np.dtype(dtype).name}]")
     row("analysis  XLA", t_xla_a)
     row("analysis  pallas", t_pal_a)
     row("synthesis XLA", t_xla_s)
     row("synthesis pallas", t_pal_s)
-    print(f"pallas/XLA speed: analysis {t_xla_a/t_pal_a:.2f}x, "
+    print(f"  pallas/XLA speed: analysis {t_xla_a/t_pal_a:.2f}x, "
           f"synthesis {t_xla_s/t_pal_s:.2f}x")
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    presets = sys.argv[2].split(",") if len(sys.argv) > 2 else ["base", "deep"]
+    dtypes = [jnp.float32, jnp.bfloat16]
+    for preset in presets:
+        for dtype in dtypes:
+            bench_preset(preset, batch, dtype)
 
 
 if __name__ == "__main__":
