@@ -56,6 +56,10 @@ def _build_config(args) -> "Config":
 
     if getattr(args, "reference_faithful", False):
         cfg = reference_faithful()
+    elif getattr(args, "tpu_native", False):
+        from neural_network_image_compression_tpu.config import tpu_native
+
+        cfg = tpu_native(rd_lambda=args.rd_lambda)
     else:
         cfg = Config()
     cfg = dataclasses.replace(
@@ -63,7 +67,7 @@ def _build_config(args) -> "Config":
         model=dataclasses.replace(
             cfg.model,
             preset=args.preset,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype or cfg.model.compute_dtype,
         ),
         data=dataclasses.replace(cfg.data, train_dir=args.data, val_dir=args.val),
         entropy=dataclasses.replace(
@@ -76,7 +80,11 @@ def _build_config(args) -> "Config":
             batch_size=args.batch_size,
             max_epochs=args.epochs,
             rd_lambda=args.rd_lambda,
-            rd_lambda_step=args.rd_lambda_step,
+            rd_lambda_step=(
+                args.rd_lambda_step
+                if args.rd_lambda_step is not None
+                else cfg.train.rd_lambda_step
+            ),
             distortion=args.distortion,
             freeze_transforms=getattr(args, "freeze_transforms", False),
             **(
@@ -103,18 +111,22 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--epochs", type=int, default=30)
     p_train.add_argument("--batch-size", type=int, default=64)
     p_train.add_argument("--rd-lambda", type=float, default=0.01, dest="rd_lambda")
-    p_train.add_argument("--rd-lambda-step", type=float, default=0.01,
+    p_train.add_argument("--rd-lambda-step", type=float, default=None,
                          dest="rd_lambda_step",
-                         help="lambda increment per epoch (0 = fixed lambda)")
+                         help="lambda increment per epoch (0 = fixed lambda; "
+                              "default: the config preset's step)")
     p_train.add_argument("--preset", choices=["base", "deep"], default="base")
     p_train.add_argument("--distortion", choices=["ssim", "ms_ssim", "mse"], default="ssim")
     p_train.add_argument("--bitstream", choices=["rans", "png", "auto"], default=None,
                          help="default: config preset's mode (rans; png when "
                               "--reference-faithful)")
     p_train.add_argument("--entropy-context", choices=["none", "checkerboard"],
-                         default="none", dest="entropy_context",
-                         help="spatial context model for the rate path")
-    p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
+                         default=None, dest="entropy_context",
+                         help="spatial context model for the rate path "
+                              "(default: the config preset's setting)")
+    p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                         default=None,
+                         help="default: the config preset's dtype")
     p_train.add_argument("--max-steps", type=int, default=None)
     p_train.add_argument("--val-every-steps", type=int, default=None,
                          dest="val_every_steps",
@@ -126,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
                          dest="freeze_transforms",
                          help="train only the entropy/context nets")
     p_train.add_argument("--reference-faithful", action="store_true")
+    p_train.add_argument("--tpu-native", action="store_true", dest="tpu_native",
+                         help="flagship preset: unbounded integer-grid latent "
+                              "+ checkerboard context + bf16 (config.tpu_native)")
     p_train.add_argument("--data-parallel", type=int, default=0,
                          help="shard training over N devices (0 = single device)")
 

@@ -232,6 +232,8 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
         png = _png_stream(sym)
         if len(png) < sum(len(b) for b in streams):
             streams, kind, passes, n_planes = [png], "png", 1, 1
+    import zlib
+
     header = ContainerHeader(
         model_id=codec.cfg.codec.model_id,
         colorspace=codec.colorspace.name,
@@ -244,6 +246,10 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
         n_planes=n_planes,
         passes=passes,
         kind=kind,
+        # Decode verifies this (ADVICE r1): the two-pass context streams
+        # recompute float conv outputs, so a cross-platform numeric drift
+        # must fail loudly instead of silently corrupting the image.
+        sym_crc=zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1,
     )
     blob = pack_container(header, streams)
     if password is not None:
@@ -290,5 +296,15 @@ def decompress_image(codec, params, data: bytes, tables=None,
         sym = decode_latent(
             streams, (header.lat_h, header.lat_w), cdf_y, cdf_c, precision
         )
+    if header.sym_crc:
+        import zlib
+
+        got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        if got != header.sym_crc:
+            raise ValueError(
+                "latent symbol checksum mismatch: the decoder reproduced "
+                "different symbols than the encoder wrote (two-pass context "
+                "decode requires the same numeric platform as encode)"
+            )
     rgb = codec.decode(params, sym[None], out_hw=(header.orig_h, header.orig_w))
     return np.asarray(rgb)[0]

@@ -20,10 +20,19 @@ Layout (little-endian):
     orig_h  u32, orig_w u32        original image size (crop target)
     lat_h   u32, lat_w  u32        full latent spatial size
     n_planes u8, n_tiles u16
+    sym_crc u32     (v2+) CRC-32 of the latent symbol array bytes; 0 = none.
+                    Decoders MUST verify when nonzero: the two-pass context
+                    streams recompute float conv outputs at decode, so a
+                    cross-platform numeric difference would otherwise corrupt
+                    silently (every mod-levels symbol is decodable).
     per stream (n_planes * n_tiles * passes): u32 byte length
     stream bytes, concatenated in (tile-major, plane-minor, pass-minor)
     order; passes = 2 when flags bit1 is set (anchor stream then context
     stream per plane), else 1
+
+Version history: v1 had no sym_crc and predates the two-pass stream-table
+doubling; v2 adds sym_crc and readers reject any flag bits they do not
+understand (a forward-compat reader must fail cleanly, not misparse).
 """
 from __future__ import annotations
 
@@ -31,7 +40,8 @@ import struct
 from dataclasses import dataclass, field
 
 MAGIC = b"NIC1"
-VERSION = 1
+VERSION = 2
+_KNOWN_FLAGS = 0b11
 
 
 @dataclass
@@ -48,6 +58,7 @@ class ContainerHeader:
     n_tiles: int = 1
     kind: str = "rans"  # 'rans' | 'png'
     passes: int = 1     # 2 = checkerboard context (anchor + conditional)
+    sym_crc: int = 0    # CRC-32 of the symbol array bytes (0 = unchecked)
 
 
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
@@ -67,7 +78,7 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
         struct.pack("<B", len(mid)), mid,
         struct.pack("<B", len(cs)), cs,
         struct.pack(
-            "<HHIIIIBH",
+            "<HHIIIIBHI",
             header.levels,
             header.latent_channels,
             header.orig_h,
@@ -76,6 +87,7 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
             header.lat_w,
             header.n_planes,
             header.n_tiles,
+            header.sym_crc & 0xFFFFFFFF,
         ),
     ]
     parts.extend(struct.pack("<I", len(s)) for s in streams)
@@ -89,8 +101,13 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
     pos = 4
     version, flags = struct.unpack_from("<BB", data, pos)
     pos += 2
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise ValueError(f"unsupported container version {version}")
+    if flags & ~_KNOWN_FLAGS:
+        raise ValueError(
+            f"container uses unknown flag bits 0x{flags & ~_KNOWN_FLAGS:02x}; "
+            "refusing to parse (stream layout may differ)"
+        )
     (mlen,) = struct.unpack_from("<B", data, pos)
     pos += 1
     model_id = data[pos : pos + mlen].decode()
@@ -103,6 +120,10 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         "<HHIIIIBH", data, pos
     )
     pos += struct.calcsize("<HHIIIIBH")
+    sym_crc = 0
+    if version >= 2:
+        (sym_crc,) = struct.unpack_from("<I", data, pos)
+        pos += 4
     passes = 2 if flags & 2 else 1
     n_streams = n_planes * n_tiles * passes
     lengths = struct.unpack_from(f"<{n_streams}I", data, pos)
@@ -126,5 +147,6 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         n_tiles=n_tiles,
         kind="png" if flags & 1 else "rans",
         passes=passes,
+        sym_crc=sym_crc,
     )
     return header, streams

@@ -76,11 +76,17 @@ class EntropyConfig:
 
 @dataclass(frozen=True)
 class QuantizerConfig:
-    levels: int = 256                    # uniform quantization levels on [0,1]
+    levels: int = 256                    # number of quantization levels/symbols
     surrogate: str = "noise"             # 'noise' (reference) | 'ste' | 'noise+ste'
     noise_to_rate_model: bool = True     # reference feeds the CLEAN latent to the
                                          # rate model (tf2_0/src/training.py:90);
                                          # True fixes that quirk (default).
+    # 'unit': latent clipped to [0,1], quantized to `levels` steps (the
+    # reference's scheme, tf2_0/src/encoder.py:47). 'integer': UNBOUNDED
+    # latent in symbol units, quantize = round(y) + levels//2 (Ballé-style;
+    # requires model.clip_latent=False). The integer grid is what makes the
+    # R-D λ control the rate — see ops/quantize.py.
+    grid: str = "unit"                   # 'unit' | 'integer'
 
 
 @dataclass(frozen=True)
@@ -189,4 +195,19 @@ def reference_faithful() -> Config:
         quantizer=QuantizerConfig(surrogate="noise", noise_to_rate_model=False),
         train=TrainConfig(chroma_lambda=0.01, val_every_steps=10),
         codec=CodecConfig(bitstream="png"),
+    )
+
+
+# TPU-native flagship preset: unbounded latent on the integer symbol grid
+# (λ controls rate), checkerboard spatial context over the factorized density
+# driving the rANS coder, bfloat16 conv compute. This is the configuration
+# whose learned bitstream is meant to beat the reference's packed-latent
+# optimized-PNG coder (reference tf2_0/src/utils.py:85-87) on its own latents.
+def tpu_native(rd_lambda: float = 0.01) -> Config:
+    return Config(
+        model=ModelConfig(clip_latent=False, compute_dtype="bfloat16"),
+        entropy=EntropyConfig(context="checkerboard"),
+        quantizer=QuantizerConfig(grid="integer"),
+        train=TrainConfig(rd_lambda=rd_lambda, rd_lambda_step=0.0),
+        codec=CodecConfig(model_id="base-ycbcr-32-int"),
     )

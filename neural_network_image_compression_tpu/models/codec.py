@@ -48,17 +48,31 @@ class NeuralCodec:
         self.latent_channels = cfg.model.latent_channels
         self.downsample = cfg.model.downsample
         self.levels = cfg.quantizer.levels
+        self.grid = cfg.quantizer.grid
+        if self.grid == "integer" and cfg.model.clip_latent:
+            raise ValueError(
+                "quantizer.grid='integer' requires model.clip_latent=False "
+                "(the integer grid codes an unbounded latent)"
+            )
+        # Grid-dependent initial geometry of the rate models. Unit-grid
+        # symbols use the full [0, L-1] range; integer-grid latents start near
+        # zero (symbols near L/2), so a tight initial density/conditional
+        # gives the encoder useful rate gradients immediately instead of the
+        # near-flat start that pinned round-1 runs at ~8 bpp.
+        self._density_span = 128.0 if self.grid == "unit" else 16.0
+        self._ctx_scale_init = 64.0 if self.grid == "unit" else 8.0
+        self._ctx_mean_span = (
+            (self.levels - 1) / 2.0 if self.grid == "unit" else 16.0
+        )
         if cfg.entropy.kind == "factorized":
-            self.entropy_y = FactorizedEntropyModel(
+            mk_f = lambda: FactorizedEntropyModel(
                 channels=self.latent_channels,
                 filters=cfg.entropy.filters,
                 levels=self.levels,
+                init_scale=self._density_span,
             )
-            self.entropy_c = FactorizedEntropyModel(
-                channels=self.latent_channels,
-                filters=cfg.entropy.filters,
-                levels=self.levels,
-            )
+            self.entropy_y = mk_f()
+            self.entropy_c = mk_f()
         else:
             self.entropy_y = EntropyRegressor()
             self.entropy_c = None  # regressor is shared across planes, like the
@@ -74,6 +88,8 @@ class NeuralCodec:
                 levels=self.levels,
                 scale_min=cfg.entropy.scale_min,
                 scale_max=cfg.entropy.scale_max,
+                mean_span=self._ctx_mean_span,
+                scale_init=self._ctx_scale_init,
             )
             self.context_y = mk()
             self.context_c = mk()
@@ -189,7 +205,7 @@ class NeuralCodec:
         rgb = self._pad(rgb_u8).astype(jnp.float32) / 255.0
         planes = cspace.rgb_to_planes(rgb, self.colorspace)
         latents = self.encode_planes(params, planes)
-        return quantize(latents, self.levels)
+        return quantize(latents, self.levels, self.grid)
 
     def decode(self, params: Params, sym_u8: jnp.ndarray,
                out_hw: tuple[int, int] | None = None) -> jnp.ndarray:
@@ -199,7 +215,7 @@ class NeuralCodec:
         synthesis -> inverse colorspace -> clip -> round uint8. ``out_hw``
         crops away the encoder's divisibility padding.
         """
-        latents = dequantize(sym_u8, self.levels)
+        latents = dequantize(sym_u8, self.levels, self.grid)
         planes = self.decode_planes(params, latents)
         rgb = jnp.clip(cspace.planes_to_rgb(planes, self.colorspace), 0.0, 1.0)
         rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
@@ -215,9 +231,13 @@ class NeuralCodec:
     # ------------------------------------------------------------------ rate
 
     def _context_input(self, z_sym: jnp.ndarray) -> jnp.ndarray:
-        """Mask to anchors and normalize to [-1, 1] (the context net's input
-        convention). z_sym: [M,h,w,C] symbol-unit values."""
+        """Mask to anchors and normalize to ~unit range (the context net's
+        input convention). z_sym: [M,h,w,C] symbol-unit values. Unit grid:
+        symbols span [0, L-1] -> [-1, 1]. Integer grid: recentre by L/2 and
+        divide by the density span so typical latents land in ~[-1, 1]."""
         mask = checkerboard_mask(z_sym.shape[1], z_sym.shape[2], z_sym.dtype)
+        if self.grid == "integer":
+            return (z_sym - self.levels // 2) / self._density_span * mask
         return (z_sym / (self.levels - 1) - 0.5) * 2.0 * mask
 
     def context_params(self, params: Params, which: str,

@@ -187,6 +187,13 @@ class CheckerboardContext(nn.Module):
     levels: int = 256
     scale_min: float = 0.11
     scale_max: float = 256.0
+    # Output geometry: mean = center + mean_off * mean_span (symbol units);
+    # sigma starts at scale_init (zero-init final conv). On the unit grid
+    # symbols span the whole [0, L-1] range so the span/init are wide; the
+    # integer grid concentrates symbols near L/2, so a tight span/init gives
+    # the encoder useful rate gradients from step 1 (see config.QuantizerConfig).
+    mean_span: float = 127.5
+    scale_init: float = 64.0
 
     @nn.compact
     def __call__(self, anchors_norm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -197,11 +204,11 @@ class CheckerboardContext(nn.Module):
                       kernel_init=nn.initializers.zeros)(x)
         mean_off, raw_scale = jnp.split(out, 2, axis=-1)
         center = (self.levels - 1) / 2.0
-        mean = center + mean_off * center  # symbol units
-        # Zero-init conv => raw_scale 0 => sigma starts wide (~half the range),
-        # matching an uninformative conditional before training.
+        mean = center + mean_off * self.mean_span  # symbol units
+        # Zero-init conv => raw_scale 0 => sigma starts at scale_init,
+        # an uninformative conditional at the grid's natural width.
         scale = jnp.clip(
-            jax.nn.softplus(raw_scale + _softplus_inv(64.0)),
+            jax.nn.softplus(raw_scale + _softplus_inv(self.scale_init)),
             self.scale_min,
             self.scale_max,
         )

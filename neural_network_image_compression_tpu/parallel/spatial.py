@@ -126,7 +126,7 @@ def tiled_encode(codec, params, rgb_u8: jnp.ndarray, mesh: Mesh,
         lat = codec.encode_planes(p, ext, column_mask=mask)
         crop = halo // ds
         lat = lat[:, :, crop : lat.shape[2] - crop]
-        return quantize(lat, codec.levels)
+        return quantize(lat, codec.levels, codec.grid)
 
     return jax.shard_map(
         fn,
@@ -155,7 +155,7 @@ def tiled_decode(codec, params, sym_u8: jnp.ndarray, mesh: Mesh,
     local_w = lat_w // n_sp
 
     def fn(p, tile_sym):
-        lat = dequantize(tile_sym, codec.levels)
+        lat = dequantize(tile_sym, codec.levels, codec.grid)
         idx = jax.lax.axis_index("spatial")
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, local_w, 1), 2)
         lat = jnp.where(cols + idx * local_w < valid_w, lat, 0.0)
@@ -226,6 +226,8 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
             continue
         tile = np.ascontiguousarray(sym[:, lo:hi])
         streams.extend(encode_latent(tile, *tables, precision))
+    import zlib
+
     header = ContainerHeader(
         model_id=codec.cfg.codec.model_id,
         colorspace=codec.colorspace.name,
@@ -236,6 +238,7 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
         lat_h=lat_h,
         lat_w=lat_w,
         n_tiles=n_sp,
+        sym_crc=zlib.crc32(np.ascontiguousarray(sym[:, :lat_w]).tobytes()) or 1,
     )
     return pack_container(header, streams)
 
@@ -270,6 +273,12 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
             )
         )
     sym = np.concatenate(tiles, axis=1)
+    if header.sym_crc:
+        import zlib
+
+        got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        if got != header.sym_crc:
+            raise ValueError("latent symbol checksum mismatch in tiled decode")
     sym = np.pad(sym, ((0, 0), (0, padded_lat_w - lat_w), (0, 0)))
     rgb = np.asarray(
         tiled_decode(codec, params, jnp.asarray(sym[None]), mesh, valid_w=lat_w)

@@ -110,18 +110,41 @@ def load_run_params(run_dir: str):
 
 def warm_start(params, donor_run_dir: str):
     """Copy param groups that exist in both trees from another run's latest
-    checkpoint (matching subtree structure required); leave the rest (e.g.
-    freshly-added context nets) at their init."""
+    checkpoint (matching subtree structure AND leaf shapes/dtypes required);
+    leave the rest (e.g. freshly-added context nets) at their init.
+
+    Groups whose structure matches but whose leaf shapes or dtypes differ
+    (donor trained with another preset/width) are skipped with a report
+    instead of copied — a silent copy would only blow up later deep inside
+    tx.update/jit with a confusing error far from the cause."""
     donor = load_run_params(donor_run_dir)
     out = dict(params)
-    copied = []
+    copied, skipped = [], []
     for k in params:
-        if k in donor:
-            a = jax.tree_util.tree_structure(params[k])
-            b = jax.tree_util.tree_structure(donor[k])
-            if a == b:
-                out[k] = donor[k]
-                copied.append(k)
+        if k not in donor:
+            continue
+        a = jax.tree_util.tree_structure(params[k])
+        b = jax.tree_util.tree_structure(donor[k])
+        if a != b:
+            skipped.append((k, "tree structure differs"))
+            continue
+        mismatch = None
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(params[k]),
+            jax.tree_util.tree_leaves(donor[k]),
+        ):
+            if np.shape(la) != np.shape(lb) or np.asarray(la).dtype != np.asarray(lb).dtype:
+                mismatch = f"leaf {np.shape(lb)}/{np.asarray(lb).dtype} vs expected {np.shape(la)}/{np.asarray(la).dtype}"
+                break
+        if mismatch is not None:
+            skipped.append((k, mismatch))
+            continue
+        out[k] = donor[k]
+        copied.append(k)
+    if skipped:
+        print(f"warm_start: skipped {skipped} from {donor_run_dir}")
     if not copied:
-        raise ValueError(f"no overlapping param groups with {donor_run_dir}")
+        raise ValueError(
+            f"no compatible param groups with {donor_run_dir} (skipped: {skipped})"
+        )
     return out, copied

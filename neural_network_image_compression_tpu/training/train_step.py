@@ -36,7 +36,11 @@ from neural_network_image_compression_tpu.models.codec import NeuralCodec
 from neural_network_image_compression_tpu.models.entropy import FactorizedEntropyModel
 from neural_network_image_compression_tpu.ops import colorspace as cspace
 from neural_network_image_compression_tpu.ops import metrics as M
-from neural_network_image_compression_tpu.ops.quantize import ste_round
+from neural_network_image_compression_tpu.ops.quantize import (
+    noise_surrogate,
+    ste_round,
+    to_symbol_units,
+)
 
 
 class TrainState(NamedTuple):
@@ -46,9 +50,34 @@ class TrainState(NamedTuple):
     rd_lambda: jnp.ndarray   # float32 scalar (annealed per epoch)
 
 
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam over all params; with ``freeze_transforms``, the analysis/
+    synthesis groups get ``optax.set_to_zero()`` (a true freeze — zeroing
+    *gradients* under Adam still produces updates while the first moment
+    decays if the moments were restored nonzero)."""
+    base = optax.adam(cfg.train.learning_rate)
+    if not cfg.train.freeze_transforms:
+        return base
+
+    def labels(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _, lbl=(
+                    "freeze" if k.startswith(("analysis", "synthesis")) else "train"
+                ): lbl,
+                v,
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"train": base, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def init_train_state(codec: NeuralCodec, rng: jax.Array, cfg: Config) -> TrainState:
     params = codec.init(rng, (cfg.data.patch_size, cfg.data.patch_size))
-    tx = optax.adam(cfg.train.learning_rate)
+    tx = make_optimizer(cfg)
     return TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -89,20 +118,20 @@ def _distortion(cfg: Config, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _surrogate(cfg: Config, latent: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     kind = cfg.quantizer.surrogate
     levels = cfg.quantizer.levels
+    grid = cfg.quantizer.grid
     if kind == "noise":
-        noise = jax.random.uniform(key, latent.shape, minval=-0.5, maxval=0.5)
-        return jnp.clip(latent + noise / (levels - 1), 0.0, 1.0)
+        return noise_surrogate(latent, key, levels, grid)
     if kind == "ste":
-        return ste_round(latent, levels)
+        return ste_round(latent, levels, grid)
     if kind == "noise+ste":
         # noise for the rate path handled separately; decoder sees STE
-        return ste_round(latent, levels)
+        return ste_round(latent, levels, grid)
     raise ValueError(f"unknown surrogate {kind!r}")
 
 
 def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
     """Returns train_step(state, batch_u8, key) -> (state, metrics_dict)."""
-    tx = optax.adam(cfg.train.learning_rate)
+    tx = make_optimizer(cfg)
     cs = codec.colorspace
     factorized = isinstance(codec.entropy_y, FactorizedEntropyModel)
     levels = cfg.quantizer.levels
@@ -135,17 +164,21 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
         d_c = _distortion(cfg, plane_c, dec_c)          # [2N]
 
         # ----- rate term ------------------------------------------------
+        # Symbol-grid positions of the latent (unit grid: y*(L-1); integer
+        # grid: y + L//2) with one bin of noise — the surrogate the density
+        # integrates over.
+        grid = cfg.quantizer.grid
         if cfg.quantizer.noise_to_rate_model:
             kr_y, kr_c = jax.random.split(k_rate)
-            z_y = lat_y * (levels - 1) + jax.random.uniform(
+            z_y = to_symbol_units(lat_y, levels, grid) + jax.random.uniform(
                 kr_y, lat_y.shape, minval=-0.5, maxval=0.5
             )
-            z_c = lat_c * (levels - 1) + jax.random.uniform(
+            z_c = to_symbol_units(lat_c, levels, grid) + jax.random.uniform(
                 kr_c, lat_c.shape, minval=-0.5, maxval=0.5
             )
         else:
-            z_y = lat_y * (levels - 1)
-            z_c = lat_c * (levels - 1)
+            z_y = to_symbol_units(lat_y, levels, grid)
+            z_c = to_symbol_units(lat_c, levels, grid)
 
         aux_loss = jnp.zeros(())
         if factorized:
@@ -211,17 +244,8 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch_u8, key, state.rd_lambda, rate_target
         )
-        if cfg.train.freeze_transforms:
-            # Zero transform grads: with per-parameter Adam this exactly
-            # freezes analysis/synthesis while the rate side keeps training.
-            grads = {
-                k: (
-                    jax.tree_util.tree_map(jnp.zeros_like, v)
-                    if k.startswith(("analysis", "synthesis"))
-                    else v
-                )
-                for k, v in grads.items()
-            }
+        # freeze_transforms is enforced by the optimizer itself
+        # (make_optimizer: optax.set_to_zero() on the transform subtrees).
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

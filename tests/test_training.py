@@ -141,3 +141,42 @@ def test_reference_faithful_regressor_step(tiny_images):
         np.asarray(png_bpp(jnp.asarray(lat), batch.shape[1] * batch.shape[2])),
         rtol=1e-6,
     )
+
+
+def test_integer_grid_lambda_controls_rate(tiny_images):
+    """Round-2 core fix (VERDICT.md item 1): on the unbounded integer symbol
+    grid the R-D lambda must actually move the rate. Train two tiny models,
+    one with a huge rate weight, one with ~none; the huge-lambda model's
+    differentiable bpp must collapse well below the other's."""
+    from neural_network_image_compression_tpu.config import tpu_native
+
+    import dataclasses
+
+    def run(lam):
+        cfg = tpu_native(rd_lambda=lam).replace(
+            data=DataConfig(patch_size=16),
+            train=TrainConfig(
+                batch_size=4, rd_lambda=lam, rd_lambda_step=0.0,
+                learning_rate=1e-3, distortion="mse",
+                val_every_steps=0, checkpoint_every_steps=0,
+                log_every_steps=10_000,
+            ),
+        )
+        # float32 on CPU (bfloat16 conv is slow and irrelevant here)
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, compute_dtype="float32")
+        )
+        codec = NeuralCodec(cfg)
+        state = init_train_state(codec, jax.random.key(0), cfg)
+        step = jax.jit(make_train_step(codec, cfg))
+        key = jax.random.key(5)
+        for _ in range(150):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, tiny_images[:4], sub)
+        return float(metrics["bpp_y"]) + float(metrics["bpp_cb"])
+
+    high = run(10.0)
+    low = run(0.0)
+    assert np.isfinite(high) and np.isfinite(low)
+    # measured: ~4.6 vs ~5.7 after 150 steps (and diverging further)
+    assert high < 0.9 * low, (high, low)
