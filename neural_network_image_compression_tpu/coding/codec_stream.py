@@ -215,11 +215,26 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
     With ``password``, the container is wrapped in the authenticated stream
     cipher from coding/crypto.py (the reference's advertised-but-missing
     encryption capability)."""
+    sym = np.asarray(codec.encode(params, rgb_u8[None]))[0]
+    return compress_symbols(
+        codec, params, sym, rgb_u8.shape[:2], tables=tables,
+        password=password, mode=mode,
+    )
+
+
+def compress_symbols(codec, params, sym: np.ndarray,
+                     orig_hw: tuple[int, int], tables=None,
+                     password: str | None = None,
+                     mode: str | None = None) -> bytes:
+    """Entropy-code pre-computed latent symbols [h,w,3C] -> container bytes.
+
+    The split from :func:`compress_image` lets batched drivers run ONE jitted
+    analysis pass over a whole batch of images, then fan the per-image host
+    entropy coding out over threads (the C++ rANS coder releases the GIL)."""
     if tables is None:
         tables = build_tables(codec, params)
     cdf_y, cdf_c = tables
     precision = codec.cfg.entropy.cdf_precision
-    sym = np.asarray(codec.encode(params, rgb_u8[None]))[0]
     ctx = codec.context_y is not None
     if ctx:
         streams = encode_latent_ctx(codec, params, sym, cdf_y, cdf_c, precision)
@@ -239,8 +254,8 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
         colorspace=codec.colorspace.name,
         levels=codec.levels,
         latent_channels=codec.latent_channels,
-        orig_h=rgb_u8.shape[0],
-        orig_w=rgb_u8.shape[1],
+        orig_h=orig_hw[0],
+        orig_w=orig_hw[1],
         lat_h=sym.shape[0],
         lat_w=sym.shape[1],
         n_planes=n_planes,

@@ -3,4 +3,5 @@ from neural_network_image_compression_tpu.evaluation.pipelines import (
     decompress_directory,
     evaluate_directories,
     rd_point,
+    rd_point_batched,
 )

@@ -69,6 +69,7 @@ def compress_directory(
     if mode in ("rans", "auto") and tables is None:
         tables = build_tables(codec, params)
     results = []
+    shape_index: dict[str, list[int]] = {}
     for name in list_images(dataset_path):
         img = load_image(os.path.join(dataset_path, name))
         if img is None:
@@ -85,12 +86,24 @@ def compress_directory(
             sym = np.asarray(codec.encode(params, img[None]))
             packed = np.asarray(pack_planes(jnp.asarray(sym)))[0]
             num_bytes = save_png(packed, os.path.join(output_dir, stem + ".png"))
+            shape_index[stem] = [int(img.shape[0]), int(img.shape[1])]
         else:
             raise ValueError(f"unknown bitstream mode {mode!r}")
         results.append(FileResult(stem, num_bytes, 8.0 * num_bytes / pixels))
     with open(os.path.join(output_dir, "val_bpp.txt"), "w") as f:
         for r in results:
             f.write(f"{r.name}\t{r.bpp}\n")
+    if shape_index:
+        # Original (pre-padding) sizes for PNG-parity decompress. The packed
+        # PNG itself stays byte-identical to the reference's bitstream
+        # (tf2_0/src/utils.py:42-43) — this side table is in the same spirit
+        # as the reference's own val_bpp.txt side file and is only needed for
+        # images whose size is not a downsample multiple (which the reference
+        # cannot represent at all).
+        import json as _json
+
+        with open(os.path.join(output_dir, "shapes.json"), "w") as f:
+            _json.dump(shape_index, f)
     return results
 
 
@@ -105,15 +118,25 @@ def decompress_directory(
 ) -> list[str]:
     """Decompress every bitstream file to ``<stem>.png`` reconstructions.
 
-    PNG-parity mode has no header, so original H,W must come from
-    ``orig_shapes`` (stem -> (H, W)); the reference sidesteps this because its
-    packed shape implies the padded size (tf2_0/src/utils.py:35-36)."""
+    PNG-parity mode recovers the output size the way the reference does —
+    the packed shape implies the padded image size (tf2_0/src/utils.py:35-36:
+    H = (downsample/4)*packed_h, W = (downsample/8)*packed_w) — then crops to
+    the original size when known, in priority order: caller ``orig_shapes``
+    (stem -> (H, W)) > the ``shapes.json`` side table compress_directory
+    writes > no crop (padded size, exactly the reference's behaviour)."""
     mode = codec.cfg.codec.bitstream
     if output_dir is None:
         output_dir = compressed_path.replace("compressed", "uncompressed")
     os.makedirs(output_dir, exist_ok=True)
     if mode in ("rans", "auto") and tables is None:
         tables = build_tables(codec, params)
+    shape_index: dict[str, tuple[int, int]] = {}
+    shapes_path = os.path.join(compressed_path, "shapes.json")
+    if os.path.exists(shapes_path):
+        import json as _json
+
+        with open(shapes_path) as f:
+            shape_index = {k: tuple(v) for k, v in _json.load(f).items()}
     written = []
     for name in sorted(os.listdir(compressed_path)):
         stem, ext = os.path.splitext(name)
@@ -129,9 +152,13 @@ def decompress_directory(
                 continue
             sym = np.asarray(unpack_planes(jnp.asarray(packed[None])))
             ds = codec.downsample
-            out_hw = None
+            # Padded size implied by the packed shape (reference
+            # tf2_0/src/utils.py:35-36); pack factors are (4, 8).
+            out_hw = (packed.shape[0] * ds // 4, packed.shape[1] * ds // 8)
             if orig_shapes and stem in orig_shapes:
-                out_hw = orig_shapes[stem]
+                out_hw = tuple(orig_shapes[stem])
+            elif stem in shape_index:
+                out_hw = shape_index[stem]
             rgb = np.asarray(codec.decode(params, sym, out_hw=out_hw))[0]
         else:
             continue
@@ -163,6 +190,111 @@ def evaluate_directories(dir_a: str, dir_b: str) -> dict:
         "per_file": per_file,
         "mean_psnr": sum(v["psnr"] for v in per_file.values()) / n,
         "mean_ms_ssim": sum(v["ms_ssim"] for v in per_file.values()) / n,
+    }
+
+
+def _jitted_codec_fns(codec):
+    """Per-codec cached jitted encode/decode (jit's own cache handles new
+    shapes; one callable per codec instance avoids retracing per call)."""
+    fns = getattr(codec, "_jit_eval_fns", None)
+    if fns is None:
+        fns = (jax.jit(codec.encode), jax.jit(codec.decode, static_argnames="out_hw"))
+        codec._jit_eval_fns = fns
+    return fns
+
+
+def rd_point_batched(codec, params, val_dir: str, tables=None,
+                     batch_size: int = 8, mesh=None, workers: int = 8) -> dict:
+    """Batched/jitted rate-distortion point over a directory.
+
+    TPU-first version of :func:`rd_point` (the reference batches 4 images per
+    model call, tf2_0/src/utils.py:53-62; round-1 ran un-jitted one image per
+    dispatch): images are grouped by shape, each group runs through ONE jitted
+    analysis/synthesis call per batch (optionally sharded over ``mesh``'s
+    'data' axis — file-level sharding, SURVEY.md section 2b), quality metrics
+    are computed batched on device, and the per-image host entropy coding
+    fans out over a thread pool (the C++ rANS coder releases the GIL).
+
+    Rates are REAL container bytes (compress_symbols); reconstruction quality
+    comes from the same symbols the containers carry (the bitstream
+    round-trip is bit-exact and CRC-checked — tests/test_context.py,
+    tests/test_coding.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        compress_symbols,
+    )
+
+    mode = codec.cfg.codec.bitstream
+    if mode in ("rans", "auto") and tables is None:
+        tables = build_tables(codec, params)
+    encode_fn, decode_fn = _jitted_codec_fns(codec)
+
+    names, images = [], []
+    for name in list_images(val_dir):
+        img = load_image(os.path.join(val_dir, name))
+        if img is not None:
+            names.append(os.path.splitext(name)[0])
+            images.append(img)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, img in enumerate(images):
+        groups.setdefault(img.shape[:2], []).append(i)
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data"))
+
+    rows: list[FileResult | None] = [None] * len(images)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    try:
+        for (h, w), idxs in groups.items():
+            for lo in range(0, len(idxs), batch_size):
+                chunk = idxs[lo : lo + batch_size]
+                batch = np.stack([images[i] for i in chunk])
+                n = batch.shape[0]
+                if sharding is not None:
+                    n_dev = sharding.mesh.shape["data"]
+                    pad = (-n) % n_dev
+                    if pad:
+                        batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+                    batch = jax.device_put(batch, sharding)
+                sym = np.asarray(encode_fn(params, batch))[:n]
+                if mode == "png":
+                    packed = np.asarray(pack_planes(jnp.asarray(sym)))
+                    sizes = [png_num_bytes(packed[k]) for k in range(n)]
+                else:
+                    sizes = list(
+                        pool.map(
+                            lambda s: len(
+                                compress_symbols(codec, params, s, (h, w), tables,
+                                                 mode=mode)
+                            ),
+                            [sym[k] for k in range(n)],
+                        )
+                    )
+                recon = np.asarray(
+                    decode_fn(params, jnp.asarray(sym), out_hw=(h, w))
+                )
+                aj = jnp.asarray(np.stack([images[i] for i in chunk]), jnp.float32)
+                bj = jnp.asarray(recon[:n], jnp.float32)
+                psnrs = np.asarray(psnr(aj, bj, max_val=255.0))
+                msssims = np.asarray(ms_ssim(aj, bj, max_val=255.0))
+                for k, i in enumerate(chunk):
+                    rows[i] = FileResult(
+                        names[i], sizes[k], 8.0 * sizes[k] / (h * w),
+                        float(psnrs[k]), float(msssims[k]),
+                    )
+    finally:
+        pool.shutdown(wait=True)
+    rows = [r for r in rows if r is not None]
+    n = max(len(rows), 1)
+    return {
+        "files": rows,
+        "mean_bpp": sum(r.bpp for r in rows) / n,
+        "mean_psnr": sum(r.psnr for r in rows) / n,
+        "mean_ms_ssim": sum(r.ms_ssim for r in rows) / n,
     }
 
 

@@ -50,3 +50,47 @@ def test_ms_ssim_odd_size(rng):
     a = jnp.asarray(rng.random((1, 181, 201, 3)).astype(np.float32))
     v = float(ms_ssim(a, a)[0])
     assert abs(v - 1.0) < 1e-4
+
+
+# ------------------------------------------------- frozen tf.image goldens
+
+
+def _golden_inputs():
+    """Deterministic inputs for the frozen-value anchors below. Regenerated
+    identically every run (seeded; draw order matters — do not reorder)."""
+    rng = np.random.default_rng(1234)
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    base = ((xx + 2 * yy) % 97 / 96.0)[..., None].repeat(3, -1).astype(np.float32)
+    a64 = np.clip(base + 0.05 * rng.standard_normal(base.shape), 0, 1).astype(np.float32)
+    b64 = np.clip(a64 + 0.03 * rng.standard_normal(base.shape), 0, 1).astype(np.float32)
+    a192 = rng.integers(0, 256, (192, 256, 3)).astype(np.float32)
+    b192 = np.clip(a192 + rng.normal(0, 12, a192.shape), 0, 255).astype(np.float32)
+    big = (
+        ((np.arange(192)[:, None] * 3 + np.arange(256)[None, :] * 2) % 255)[..., None]
+        .repeat(3, -1)
+        .astype(np.float32)
+    )
+    a2 = np.clip(big + rng.normal(0, 8, big.shape), 0, 255).astype(np.float32)
+    b2 = np.clip(big + rng.normal(0, 20, big.shape), 0, 255).astype(np.float32)
+    return a64, b64, a192, b192, a2, b2
+
+
+def test_golden_tf_image_anchors():
+    """Frozen tf.image.ssim / ssim_multiscale outputs (VERDICT.md r1 item 8).
+
+    The reference's quality currency is tf.image SSIM/MS-SSIM
+    (tf1_13/tests/calc_ssim.py:13, tf2_0/src/training.py:108-117). These
+    values were computed once with tensorflow 2.21.0 on the deterministic
+    inputs above; the JAX implementation must keep matching them so the
+    comparison currency cannot drift."""
+    a64, b64, a192, b192, a2, b2 = _golden_inputs()
+    got = float(ssim(jnp.asarray(a64[None]), jnp.asarray(b64[None]), max_val=1.0)[0])
+    np.testing.assert_allclose(got, 0.916205883026123, atol=1e-4)
+    got = float(ssim(jnp.asarray(a192[None]), jnp.asarray(b192[None]), max_val=255.0)[0])
+    np.testing.assert_allclose(got, 0.9870738387107849, atol=1e-4)
+    got = float(
+        ms_ssim(jnp.asarray(a192[None]), jnp.asarray(b192[None]), max_val=255.0)[0]
+    )
+    np.testing.assert_allclose(got, 0.9889864921569824, atol=3e-4)
+    got = float(ms_ssim(jnp.asarray(a2[None]), jnp.asarray(b2[None]), max_val=255.0)[0])
+    np.testing.assert_allclose(got, 0.8787931799888611, atol=3e-4)
