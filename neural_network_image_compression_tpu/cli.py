@@ -143,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
                               "+ checkerboard context + bf16 (config.tpu_native)")
     p_train.add_argument("--data-parallel", type=int, default=0,
                          help="shard training over N devices (0 = single device)")
+    p_train.add_argument("--distributed", action="store_true",
+                         help="multi-host: initialize jax.distributed first "
+                              "(same command on every host; coordinator via "
+                              "JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID/"
+                              "JAX_NUM_PROCESSES or cloud auto-detect), then "
+                              "build the pod mesh over all hosts' devices")
 
     p_comp = sub.add_parser("compress", help="compress an image directory")
     p_comp.add_argument("--input", required=True)
@@ -183,7 +189,17 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = _build_config(args)
         mesh = None
-        if args.data_parallel:
+        if args.distributed:
+            from neural_network_image_compression_tpu.parallel import (
+                global_mesh,
+                initialize_distributed,
+                process_info,
+            )
+
+            initialize_distributed()
+            print(f"distributed: {process_info()}")
+            mesh = global_mesh(data=args.data_parallel or None)
+        elif args.data_parallel:
             from neural_network_image_compression_tpu.parallel import make_mesh
 
             mesh = make_mesh(data=args.data_parallel)

@@ -44,10 +44,25 @@ class PatchDataset:
     def device_epoch(
         self, epoch_idx: int, sharding=None, prefetch: int = 2
     ) -> Iterator[jax.Array]:
-        """Epoch iterator that keeps ``prefetch`` batches in flight on device."""
+        """Epoch iterator that keeps ``prefetch`` batches in flight on device.
+
+        Multi-host (jax.process_count() > 1): every process iterates the SAME
+        deterministic global permutation, and each builds its global array
+        from per-shard callbacks — the sharding maps each global batch row to
+        its owning device, so a host only materializes on-device the rows of
+        its addressable shards (DCN never carries training data)."""
+        multiprocess = sharding is not None and jax.process_count() > 1
+
+        def put(batch):
+            if multiprocess:
+                return jax.make_array_from_callback(
+                    batch.shape, sharding, lambda idx: batch[idx]
+                )
+            return jax.device_put(batch, sharding)
+
         queue: collections.deque[jax.Array] = collections.deque()
         for batch in self.epoch(epoch_idx):
-            queue.append(jax.device_put(batch, sharding))
+            queue.append(put(batch))
             if len(queue) > prefetch:
                 yield queue.popleft()
         while queue:

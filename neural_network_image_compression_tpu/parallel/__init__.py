@@ -9,3 +9,8 @@ from neural_network_image_compression_tpu.parallel.spatial import (
     compress_image_tiled,
     decompress_image_tiled,
 )
+from neural_network_image_compression_tpu.parallel.launch import (
+    global_mesh,
+    initialize_distributed,
+    process_info,
+)

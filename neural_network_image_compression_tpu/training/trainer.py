@@ -70,6 +70,10 @@ class Trainer:
         self.cfg = cfg
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
+        # Multi-host: every process runs the same program (and participates
+        # in checkpoint saves — Orbax coordinates), but only the lead process
+        # writes logs/artifacts.
+        self._is_lead = jax.process_index() == 0
         self.codec = NeuralCodec(cfg)
         self.mesh = mesh
         self.store = CheckpointStore(os.path.join(self.run_dir, "checkpoints"))
@@ -109,6 +113,8 @@ class Trainer:
     # ------------------------------------------------------------------ utils
 
     def _log(self, record: dict) -> None:
+        if not self._is_lead:
+            return
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
@@ -270,7 +276,7 @@ class Trainer:
             "mean_ms_ssim": result["mean_ms_ssim"],
         }
         self._log(record)
-        if self.cfg.train.val_artifacts:
+        if self.cfg.train.val_artifacts and self._is_lead:
             self._dump_val_artifacts(params, step)
         print(
             f"[val] step {step}: bpp {result['mean_bpp']:.4f} "
