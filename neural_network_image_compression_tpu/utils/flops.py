@@ -1,0 +1,120 @@
+"""Analytic FLOP counts for the conv transforms (roofline/MFU accounting).
+
+VERDICT r1 item 3: bench.py must report achieved TFLOP/s and MFU against the
+chip's peak, not just images/s. Counts are MAC-based (2 FLOPs per MAC) for
+the convolutions only — elementwise activations/colorspace are bandwidth, not
+FLOPs, and contribute <0.1%.
+
+Conventions: SAME padding; a stride-s conv with output HxW costs
+2*K*K*Cin*Cout*H*W; a stride-s transposed conv with input HxW costs
+2*K*K*Cin*Cout*H*W*... evaluated at its OUTPUT size divided by s^2 — i.e.
+each input pixel drives K*K*Cout MACs per input channel, matching XLA's
+gradient-of-conv lowering.
+"""
+from __future__ import annotations
+
+
+def _conv(k: int, cin: int, cout: int, h_out: int, w_out: int) -> int:
+    return 2 * k * k * cin * cout * h_out * w_out
+
+
+# (kind, kernel, cin, cout, stride) per preset; 'T' = transposed.
+_BASE_ANALYSIS = [
+    ("C", 5, 1, 32, 2),
+    ("C", 5, 32, 64, 2),
+    ("C", 3, 64, 64, 1),
+    ("C", 3, 64, 64, 1),
+    ("C", 5, 64, 32, 2),
+]
+_BASE_SYNTHESIS = [
+    ("T", 5, 32, 64, 2),
+    ("T", 3, 64, 64, 1),
+    ("T", 3, 64, 64, 1),
+    ("T", 5, 64, 64, 2),
+    ("T", 5, 64, 1, 2),
+]
+_DEEP_ANALYSIS = [
+    ("C", 5, 1, 32, 2),
+    ("C", 5, 32, 64, 2),
+    ("C", 3, 64, 64, 1),
+    ("C", 3, 64, 64, 1),
+    ("C", 5, 64, 64, 2),
+    ("C", 3, 64, 64, 1),
+    ("C", 3, 64, 64, 1),
+    ("C", 5, 64, 32, 2),
+]
+_DEEP_SYNTHESIS = [
+    ("T", 5, 32, 64, 2),
+    ("C", 3, 64, 64, 1),
+    ("C", 3, 64, 64, 1),
+    ("T", 5, 64, 64, 2),
+    ("C", 3, 64, 64, 1),
+    ("C", 3, 64, 64, 1),
+    ("T", 5, 64, 64, 2),
+    ("T", 5, 64, 1, 2),
+]
+
+
+def _stack_flops(layers, h: int, w: int, transposed_dir: bool) -> int:
+    """FLOPs of one plane through a layer stack. ``transposed_dir``: the
+    stack upsamples (input is the latent grid). A transposed conv costs
+    2*K*K*Cin*Cout per INPUT pixel (the full kernel scatters from each input
+    element), which makes it symmetric with its forward counterpart."""
+    total = 0
+    for kind, k, cin, cout, s in layers:
+        if kind == "T":
+            total += _conv(k, cin, cout, h, w)
+            h, w = h * s, w * s
+        elif transposed_dir:
+            total += _conv(k, cin, cout, h, w)  # stride-1 conv in the decoder
+        else:
+            h, w = -(-h // s), -(-w // s)
+            total += _conv(k, cin, cout, h, w)
+    return total
+
+
+def plane_flops(preset: str, h: int, w: int) -> tuple[int, int]:
+    """(analysis_flops, synthesis_flops) for ONE colour plane of an HxW
+    image. ``h``, ``w`` are the (padded) image dims."""
+    if preset == "base":
+        ana, syn, ds = _BASE_ANALYSIS, _BASE_SYNTHESIS, 8
+    elif preset == "deep":
+        ana, syn, ds = _DEEP_ANALYSIS, _DEEP_SYNTHESIS, 16
+    else:
+        raise ValueError(preset)
+    a = _stack_flops(ana, h, w, transposed_dir=False)
+    s = _stack_flops(syn, h // ds, w // ds, transposed_dir=True)
+    return a, s
+
+
+def round_trip_flops(preset: str, h: int, w: int) -> int:
+    """Total conv FLOPs of a full 3-plane encode+decode of one HxW image
+    (Y + Cb + Cr all run both transforms)."""
+    a, s = plane_flops(preset, h, w)
+    return 3 * (a + s)
+
+
+# Dense bf16 peak FLOP/s per chip by device_kind substring. Public figures:
+# v4 275 TF/s, v5e 197, v5p 459, v6e (Trillium) 918, v3 123, v2 46.
+PEAK_BF16_TFLOPS = {
+    "v2": 46.0,
+    "v3": 123.0,
+    "v4": 275.0,
+    "v5 lite": 197.0,
+    "v5litepod": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v5": 459.0,  # plain "v5" after the lite variants in match order
+    "v6 lite": 918.0,
+    "v6e": 918.0,
+    "v6": 918.0,
+}
+
+
+def chip_peak_tflops(device_kind: str) -> float | None:
+    """Best-effort peak bf16 TFLOP/s for a jax device_kind string."""
+    kind = device_kind.lower()
+    for key in PEAK_BF16_TFLOPS:  # insertion order: specific before generic
+        if key in kind:
+            return PEAK_BF16_TFLOPS[key]
+    return None
