@@ -19,15 +19,27 @@ from neural_network_image_compression_tpu.coding.container import (
 )
 
 
-def build_tables(codec, params, precision: int | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Quantized CDF tables (cdf_y, cdf_c) from the codec's factorized model."""
+def build_tables(codec, params, precision: int | None = None) -> tuple:
+    """Quantized CDF tables from the codec's factorized model(s).
+
+    Returns (cdf_y, cdf_c) — or (cdf_y, cdf_c, cdf_zy, cdf_zc) when the codec
+    carries a hyperprior (the extra pair codes the transmitted hyper latent).
+    Consumers index the first two positionally, so both shapes unpack the
+    same way at the main-latent call sites."""
     if precision is None:
         precision = codec.cfg.entropy.cdf_precision
     pmf_y, pmf_c = codec.pmf_tables(params)
-    return (
+    out = (
         cdf_mod.quantize_pmf(np.asarray(pmf_y), precision),
         cdf_mod.quantize_pmf(np.asarray(pmf_c), precision),
     )
+    if getattr(codec, "hyper_entropy_y", None) is not None:
+        pmf_zy, pmf_zc = codec.hyper_pmf_tables(params)
+        out = out + (
+            cdf_mod.quantize_pmf(np.asarray(pmf_zy), precision),
+            cdf_mod.quantize_pmf(np.asarray(pmf_zc), precision),
+        )
+    return out
 
 
 def encode_latent(
@@ -186,6 +198,134 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
     return sym
 
 
+# ------------------------------------------------- hyperprior (two-stream) path
+
+
+def _hyper_fns(codec):
+    """Jitted hyper coding callables, cached on the codec:
+    enc(params, sym[1,h,w,3C]) -> z symbols [1,hz,wz,3Zc] uint8;
+    cond(params, z_sym, h, w)  -> (mean, scale) [h,w,3C] in symbol units.
+    Both sides run cond on the DECODED z symbols, so encoder/decoder agree
+    exactly on the conditional (same-platform float determinism; the
+    container CRC catches cross-platform drift loudly)."""
+    cached = getattr(codec, "_hyper_coding_fns", None)
+    if cached is None:
+        import jax
+        import jax.numpy as jnp
+
+        cch = codec.latent_channels
+        zc = codec.cfg.entropy.hyper_channels
+        off = codec.levels // 2
+
+        def enc(params, sym):
+            z = sym.astype(jnp.float32)
+            zy = codec.hyper_z(params, "y", z[..., :cch])
+            zcc = codec.hyper_z(
+                params, "c",
+                jnp.concatenate([z[..., cch : 2 * cch], z[..., 2 * cch :]], axis=0),
+            )
+            zall = jnp.concatenate([zy, zcc[:1], zcc[1:]], axis=3)
+            return jnp.clip(jnp.round(zall) + off, 0, codec.levels - 1).astype(
+                jnp.uint8
+            )
+
+        def cond(params, z_sym, h, w):
+            zf = z_sym.astype(jnp.float32) - off
+            my, sy = codec.hyper_conditional(params, "y", zf[..., :zc], (h, w))
+            zcc = jnp.concatenate(
+                [zf[..., zc : 2 * zc], zf[..., 2 * zc :]], axis=0
+            )
+            mc, sc = codec.hyper_conditional(params, "c", zcc, (h, w))
+            mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
+            scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
+            return mean[0], scale[0]
+
+        cached = (jax.jit(enc), jax.jit(cond, static_argnums=(2, 3)))
+        codec._hyper_coding_fns = cached
+    return cached
+
+
+def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
+                        precision: int) -> list[bytes]:
+    """[h,w,3C] symbols -> 6 streams: per plane, the hyper-latent stream
+    (factorized hyper CDFs) then the main stream (dense mean-shifted
+    residuals through the scale-indexed Gaussian rANS coder)."""
+    cdf_zy, cdf_zc = tables[2], tables[3]
+    levels = codec.levels
+    cch = codec.latent_channels
+    zc = codec.cfg.entropy.hyper_channels
+    h, w = sym.shape[:2]
+    enc_fn, cond_fn = _hyper_fns(codec)
+    z_sym = np.asarray(enc_fn(params, sym[None]))[0]
+    mean, scale = cond_fn(params, z_sym[None], h, w)
+    mean = np.asarray(mean)
+    scale = np.asarray(scale, np.float32)
+    scale_table, scale_cdfs = _codec_scale_tables(codec)
+    streams: list[bytes] = []
+    for p in range(3):
+        ztab = cdf_zy if p == 0 else cdf_zc
+        zplane = np.ascontiguousarray(z_sym[..., p * zc : (p + 1) * zc])
+        streams.append(rans.encode(zplane, ztab, precision))
+        yplane = sym[..., p * cch : (p + 1) * cch].astype(np.int64)
+        mu = np.round(mean[..., p * cch : (p + 1) * cch]).astype(np.int64) % levels
+        wsym = ((yplane - mu + levels // 2) % levels).astype(np.uint8)
+        idx = np.minimum(
+            np.searchsorted(
+                scale_table, scale[..., p * cch : (p + 1) * cch], side="left"
+            ),
+            len(scale_table) - 1,
+        ).astype(np.int32)
+        streams.append(
+            rans.encode_indexed(
+                wsym.reshape(-1, cch), idx.reshape(-1, cch), scale_cdfs, precision
+            )
+        )
+    return streams
+
+
+def decode_latent_hyper(codec, params, streams: list[bytes],
+                        lat_hw: tuple[int, int], tables,
+                        precision: int) -> np.ndarray:
+    """Inverse of :func:`encode_latent_hyper`: decode each plane's hyper
+    latent, run the hyper-decoder once (jitted, full grid), then decode the
+    dense conditional main stream."""
+    from neural_network_image_compression_tpu.models.hyperprior import (
+        hyper_grid_hw,
+    )
+
+    cdf_zy, cdf_zc = tables[2], tables[3]
+    levels = codec.levels
+    cch = codec.latent_channels
+    zc = codec.cfg.entropy.hyper_channels
+    h, w = lat_hw
+    zh, zw = hyper_grid_hw((h, w))
+    z_sym = np.zeros((zh, zw, 3 * zc), np.uint8)
+    for p in range(3):
+        ztab = cdf_zy if p == 0 else cdf_zc
+        flat = rans.decode(streams[2 * p], zh * zw * zc, ztab, precision)
+        z_sym[..., p * zc : (p + 1) * zc] = flat.reshape(zh, zw, zc)
+    _, cond_fn = _hyper_fns(codec)
+    mean, scale = cond_fn(params, z_sym[None], h, w)
+    mean = np.asarray(mean)
+    scale = np.asarray(scale, np.float32)
+    scale_table, scale_cdfs = _codec_scale_tables(codec)
+    sym = np.zeros((h, w, 3 * cch), np.uint8)
+    for p in range(3):
+        mu = np.round(mean[..., p * cch : (p + 1) * cch]).astype(np.int64) % levels
+        idx = np.minimum(
+            np.searchsorted(
+                scale_table, scale[..., p * cch : (p + 1) * cch], side="left"
+            ),
+            len(scale_table) - 1,
+        ).astype(np.int32)
+        wsym = rans.decode_indexed(
+            streams[2 * p + 1], idx.reshape(-1, cch), scale_cdfs, precision
+        )
+        s = (wsym.reshape(h, w, cch).astype(np.int64) - levels // 2 + mu) % levels
+        sym[..., p * cch : (p + 1) * cch] = s.astype(np.uint8)
+    return sym
+
+
 def _png_stream(sym: np.ndarray) -> bytes:
     """Optimized-PNG bytes of the packed 3-plane latent — the reference's
     exact bitstream (reference tf2_0/src/utils.py:38-43), embedded as a
@@ -233,20 +373,24 @@ def compress_symbols(codec, params, sym: np.ndarray,
     entropy coding out over threads (the C++ rANS coder releases the GIL)."""
     if tables is None:
         tables = build_tables(codec, params)
-    cdf_y, cdf_c = tables
+    cdf_y, cdf_c = tables[0], tables[1]
     precision = codec.cfg.entropy.cdf_precision
     ctx = codec.context_y is not None
-    if ctx:
+    hyper = getattr(codec, "hyper_enc_y", None) is not None
+    if hyper:
+        streams = encode_latent_hyper(codec, params, sym, tables, precision)
+    elif ctx:
         streams = encode_latent_ctx(codec, params, sym, cdf_y, cdf_c, precision)
     else:
         streams = encode_latent(sym, cdf_y, cdf_c, precision)
     if mode is None:
         mode = codec.cfg.codec.bitstream
-    kind, passes, n_planes = "rans", 2 if ctx else 1, 3
+    kind, passes, n_planes = "rans", 2 if (ctx or hyper) else 1, 3
     if mode == "auto":
         png = _png_stream(sym)
         if len(png) < sum(len(b) for b in streams):
             streams, kind, passes, n_planes = [png], "png", 1, 1
+            hyper = False
     import zlib
 
     header = ContainerHeader(
@@ -261,6 +405,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
         n_planes=n_planes,
         passes=passes,
         kind=kind,
+        hyper=hyper,
         # Decode verifies this (ADVICE r1): the two-pass context streams
         # recompute float conv outputs, so a cross-platform numeric drift
         # must fail loudly instead of silently corrupting the image.
@@ -300,9 +445,14 @@ def decompress_image(codec, params, data: bytes, tables=None,
         return np.asarray(rgb)[0]
     if tables is None:
         tables = build_tables(codec, params)
-    cdf_y, cdf_c = tables
+    cdf_y, cdf_c = tables[0], tables[1]
     precision = codec.cfg.entropy.cdf_precision
-    if header.passes == 2:
+    if header.hyper:
+        sym = decode_latent_hyper(
+            codec, params, streams, (header.lat_h, header.lat_w),
+            tables, precision,
+        )
+    elif header.passes == 2:
         sym = decode_latent_ctx(
             codec, params, streams, (header.lat_h, header.lat_w),
             cdf_y, cdf_c, precision,

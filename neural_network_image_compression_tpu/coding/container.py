@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 
 MAGIC = b"NIC1"
 VERSION = 2
-_KNOWN_FLAGS = 0b11
+_KNOWN_FLAGS = 0b111  # bit0 png, bit1 two-pass context, bit2 hyperprior
 
 
 @dataclass
@@ -57,7 +57,9 @@ class ContainerHeader:
     n_planes: int = 3
     n_tiles: int = 1
     kind: str = "rans"  # 'rans' | 'png'
-    passes: int = 1     # 2 = checkerboard context (anchor + conditional)
+    passes: int = 1     # 2 = two streams/plane: checkerboard (anchor +
+                        # conditional) or hyperprior (z + conditional)
+    hyper: bool = False # passes==2 streams are hyperprior (z first)
     sym_crc: int = 0    # CRC-32 of the symbol array bytes (0 = unchecked)
 
 
@@ -72,6 +74,10 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
         flags |= 2
     elif header.passes != 1:
         raise ValueError(f"unsupported passes {header.passes}")
+    if header.hyper:
+        if header.passes != 2:
+            raise ValueError("hyper containers carry 2 streams per plane")
+        flags |= 4
     parts = [
         MAGIC,
         struct.pack("<BB", VERSION, flags),
@@ -147,6 +153,7 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         n_tiles=n_tiles,
         kind="png" if flags & 1 else "rans",
         passes=passes,
+        hyper=bool(flags & 4),
         sym_crc=sym_crc,
     )
     return header, streams

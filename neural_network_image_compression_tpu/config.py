@@ -63,12 +63,16 @@ class EntropyConfig:
     regressor_target: str = "factorized" # 'factorized' | 'png' (parity mode)
     tail_mass: float = 1e-9              # probability floor for coding tables
     cdf_precision: int = 16              # fixed-point bits of the rANS tables
-    # Spatial context model (factorized kind only). 'checkerboard' codes
-    # anchor positions with the factorized density and the other half
-    # conditionally (Gaussian, mean/scale from a conv over the anchors) —
-    # two parallel passes, no autoregressive scan (TPU-friendly).
-    context: str = "none"                # 'none' | 'checkerboard'
-    context_hidden: int = 96             # conv width of the context net
+    # Conditional rate model on top of the factorized density (factorized
+    # kind only). 'checkerboard': anchors coded factorized, the other half
+    # conditionally (Gaussian mean/scale from a conv over the anchors) — two
+    # parallel passes, no autoregressive scan. 'hyperprior': a transmitted
+    # side latent z (models/hyperprior.py) decodes into a dense per-position
+    # Gaussian for EVERY main-latent element (mean-scale hyperprior,
+    # Ballé/Minnen 2018) — one pass, z costs ~1-3% of the rate.
+    context: str = "none"                # 'none' | 'checkerboard' | 'hyperprior'
+    context_hidden: int = 96             # conv width of the context/hyper nets
+    hyper_channels: int = 16             # hyper latent channels (z)
     scale_bins: int = 64                 # conditional-Gaussian CDF rows
     scale_min: float = 0.11              # sigma range (symbol units)
     scale_max: float = 256.0

@@ -78,6 +78,41 @@ class NeuralCodec:
             self.entropy_c = None  # regressor is shared across planes, like the
             # reference's single Entropynet (tf2_0/src/training.py:50)
         self.context_y = self.context_c = None
+        self.hyper_enc_y = self.hyper_enc_c = None
+        self.hyper_dec_y = self.hyper_dec_c = None
+        self.hyper_entropy_y = self.hyper_entropy_c = None
+        if (
+            cfg.entropy.kind == "factorized"
+            and cfg.entropy.context == "hyperprior"
+        ):
+            from neural_network_image_compression_tpu.models.hyperprior import (
+                HyperDecoder,
+                HyperEncoder,
+            )
+
+            mk_he = lambda: HyperEncoder(
+                hidden=cfg.entropy.context_hidden,
+                z_channels=cfg.entropy.hyper_channels,
+            )
+            mk_hd = lambda: HyperDecoder(
+                channels=self.latent_channels,
+                hidden=cfg.entropy.context_hidden,
+                levels=self.levels,
+                scale_min=cfg.entropy.scale_min,
+                scale_max=cfg.entropy.scale_max,
+                mean_span=self._ctx_mean_span,
+                scale_init=self._ctx_scale_init,
+                z_span=self._density_span,
+            )
+            mk_hf = lambda: FactorizedEntropyModel(
+                channels=cfg.entropy.hyper_channels,
+                filters=cfg.entropy.filters,
+                levels=self.levels,
+                init_scale=self._density_span,
+            )
+            self.hyper_enc_y, self.hyper_enc_c = mk_he(), mk_he()
+            self.hyper_dec_y, self.hyper_dec_c = mk_hd(), mk_hd()
+            self.hyper_entropy_y, self.hyper_entropy_c = mk_hf(), mk_hf()
         if (
             cfg.entropy.kind == "factorized"
             and cfg.entropy.context == "checkerboard"
@@ -117,6 +152,31 @@ class NeuralCodec:
             k_cy, k_cc = jax.random.split(jax.random.fold_in(rng, 7))
             params["context_y"] = self.context_y.init(k_cy, latent)["params"]
             params["context_c"] = self.context_c.init(k_cc, latent)["params"]
+        if self.hyper_enc_y is not None:
+            from neural_network_image_compression_tpu.models.hyperprior import (
+                hyper_grid_hw,
+            )
+
+            keys = jax.random.split(jax.random.fold_in(rng, 8), 6)
+            lh, lw = latent.shape[1:3]
+            zh, zw = hyper_grid_hw((lh, lw))
+            zlat = jnp.zeros(
+                (1, zh, zw, self.cfg.entropy.hyper_channels), jnp.float32
+            )
+            params["hyper_enc_y"] = self.hyper_enc_y.init(keys[0], latent)["params"]
+            params["hyper_enc_c"] = self.hyper_enc_c.init(keys[1], latent)["params"]
+            params["hyper_dec_y"] = self.hyper_dec_y.init(
+                keys[2], zlat, (lh, lw)
+            )["params"]
+            params["hyper_dec_c"] = self.hyper_dec_c.init(
+                keys[3], zlat, (lh, lw)
+            )["params"]
+            params["hyper_entropy_y"] = self.hyper_entropy_y.init(keys[4], zlat)[
+                "params"
+            ]
+            params["hyper_entropy_c"] = self.hyper_entropy_c.init(keys[5], zlat)[
+                "params"
+            ]
         return params
 
     # ------------------------------------------------------- plane transforms
@@ -265,6 +325,73 @@ class NeuralCodec:
         mean, scale = self.context_params(params, which, z_sym)
         bits_ctx = conditional_gaussian_bits(z_sym, mean, scale)
         return bits_f * mask + bits_ctx * (1.0 - mask)
+
+    # ------------------------------------------------------------ hyperprior
+
+    def _norm_symbols(self, z_sym: jnp.ndarray) -> jnp.ndarray:
+        """Symbol-grid values -> ~unit-range input for the hyper-encoder."""
+        center = (self.levels - 1) / 2.0
+        return (z_sym - center) / self._density_span
+
+    def hyper_z(self, params: Params, which: str, z_sym: jnp.ndarray) -> jnp.ndarray:
+        """Continuous hyper latent [M,hz,wz,Zc] in CENTERED symbol units for a
+        plane batch on the symbol grid. ``which`` is 'y' or 'c'."""
+        enc = self.hyper_enc_y if which == "y" else self.hyper_enc_c
+        if enc is None:
+            raise TypeError("hyper_z requires entropy.context='hyperprior'")
+        return enc.apply(
+            {"params": params[f"hyper_enc_{which}"]}, self._norm_symbols(z_sym)
+        )
+
+    def hyper_conditional(
+        self, params: Params, which: str, z_centered: jnp.ndarray,
+        out_hw: tuple[int, int],
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(mean, scale) [M,h,w,C] in symbol units from a (noisy or decoded)
+        CENTERED hyper latent."""
+        dec = self.hyper_dec_y if which == "y" else self.hyper_dec_c
+        return dec.apply(
+            {"params": params[f"hyper_dec_{which}"]}, z_centered, out_hw
+        )
+
+    def _hyper_bits(self, params: Params, which: str, z_centered: jnp.ndarray):
+        ent = self.hyper_entropy_y if which == "y" else self.hyper_entropy_c
+        center = (self.levels - 1) / 2.0
+        return ent.apply(
+            {"params": params[f"hyper_entropy_{which}"]}, z_centered + center
+        )
+
+    def plane_rate_bits(self, params: Params, which: str, z_sym: jnp.ndarray,
+                        key: jax.Array | None = None) -> jnp.ndarray:
+        """[M] TOTAL differentiable bits per item for one plane batch in
+        symbol units — including transmitted side information (the hyper
+        latent's own factorized bits, when context='hyperprior'). ``key``
+        draws the hyper latent's one-bin quantization noise."""
+        if self.hyper_enc_y is not None:
+            z = self.hyper_z(params, which, z_sym)
+            if key is not None:
+                z = z + jax.random.uniform(key, z.shape, minval=-0.5, maxval=0.5)
+            bits_z = self._hyper_bits(params, which, z)
+            mean, scale = self.hyper_conditional(
+                params, which, z, z_sym.shape[1:3]
+            )
+            bits_y = conditional_gaussian_bits(z_sym, mean, scale)
+            return jnp.sum(bits_y, axis=(1, 2, 3)) + jnp.sum(bits_z, axis=(1, 2, 3))
+        return jnp.sum(self.plane_bits(params, which, z_sym), axis=(1, 2, 3))
+
+    def hyper_pmf_tables(self, params: Params) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(pmf_zy [Zc,L], pmf_zc [Zc,L]) for the hyper latent's rANS tables."""
+        if self.hyper_entropy_y is None:
+            raise TypeError("hyper_pmf_tables requires entropy.context='hyperprior'")
+        pmf_y = self.hyper_entropy_y.apply(
+            {"params": params["hyper_entropy_y"]},
+            method=FactorizedEntropyModel.pmf,
+        )
+        pmf_c = self.hyper_entropy_c.apply(
+            {"params": params["hyper_entropy_c"]},
+            method=FactorizedEntropyModel.pmf,
+        )
+        return pmf_y, pmf_c
 
     def latent_bits(self, params: Params, latents_sym_units: jnp.ndarray) -> jnp.ndarray:
         """Differentiable bits per element for [N,h,w,3C] symbol-grid values

@@ -225,7 +225,10 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
             streams.extend([b"", b"", b""])
             continue
         tile = np.ascontiguousarray(sym[:, lo:hi])
-        streams.extend(encode_latent(tile, *tables, precision))
+        # Per-tile streams use the plain factorized tables (tables[:2]) —
+        # tile independence is the point; conditional models (checkerboard/
+        # hyperprior) would couple tiles through their conditioning field.
+        streams.extend(encode_latent(tile, tables[0], tables[1], precision))
     import zlib
 
     header = ContainerHeader(
@@ -268,7 +271,8 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
             decode_latent(
                 streams[3 * t : 3 * t + 3],
                 (header.lat_h, hi - lo),
-                *tables,
+                tables[0],
+                tables[1],
                 codec.cfg.entropy.cdf_precision,
             )
         )

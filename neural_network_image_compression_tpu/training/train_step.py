@@ -142,7 +142,9 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
     def loss_fn(params, batch_u8, key, rd_lambda, rate_target=None):
         n = batch_u8.shape[0]
         hw_pixels = batch_u8.shape[1] * batch_u8.shape[2]
-        k_aug, k_noise_y, k_noise_c, k_rate = jax.random.split(key, 4)
+        # NOTE: keep this split arity in sync with make_rate_latents_fn (the
+        # reference-faithful PNG target must see the same flip augmentation).
+        k_aug, k_noise_y, k_noise_c, k_rate, kz_y, kz_c = jax.random.split(key, 6)
 
         x = batch_u8.astype(jnp.float32) / 255.0
         if cfg.train.augment_flips:
@@ -182,12 +184,12 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
 
         aux_loss = jnp.zeros(())
         if factorized:
-            # plane_bits routes through the checkerboard context model when
-            # enabled (factorized bits at anchors, conditional elsewhere).
-            bits_y = codec.plane_bits(params, "y", z_y)
-            bits_c = codec.plane_bits(params, "c", z_c)
-            bpp_y = jnp.sum(bits_y, axis=(1, 2, 3)) / hw_pixels       # [N]
-            bpp_c = jnp.sum(bits_c, axis=(1, 2, 3)) / hw_pixels       # [2N]
+            # plane_rate_bits routes through the conditional rate model when
+            # one is enabled: checkerboard (factorized anchors + conditional
+            # Gaussian) or hyperprior (dense conditional + transmitted side
+            # bits, which the keys' one-bin noise dithers).
+            bpp_y = codec.plane_rate_bits(params, "y", z_y, kz_y) / hw_pixels  # [N]
+            bpp_c = codec.plane_rate_bits(params, "c", z_c, kz_c) / hw_pixels  # [2N]
             rate_y, rate_c = bpp_y, bpp_c
         else:
             # Reference-faithful Entropynet path. Main loss uses predictions
@@ -273,7 +275,8 @@ def make_rate_latents_fn(codec: NeuralCodec, cfg: Config) -> Callable:
     cs = codec.colorspace
 
     def f(params, batch_u8, key):
-        k_aug, _, _, _ = jax.random.split(key, 4)
+        # Same split arity as loss_fn so k_aug (and thus the flips) match.
+        k_aug = jax.random.split(key, 6)[0]
         x = batch_u8.astype(jnp.float32) / 255.0
         if cfg.train.augment_flips:
             x = _random_flips(x, k_aug)

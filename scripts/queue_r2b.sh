@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-2 queue, part B: waits for part A (lambda sweep + faithful anchor),
+# then trains the hyperprior sweep and the deep (tf1_13) preset point.
+set -u
+cd /root/repo
+while ! grep -q "QUEUE DONE" runs_r2_queue.log 2>/dev/null; do sleep 60; done
+PY="python -m neural_network_image_compression_tpu"
+
+for lam in 0.003 0.01 0.03; do
+  tag="hyp_l${lam//./}"
+  echo "=== hyper sweep $tag (lambda=$lam) $(date) ==="
+  timeout 4h $PY train --tpu-native --entropy-context hyperprior \
+    --data /root/reference/data/imagenet_patches \
+    --val /root/reference/data/kodak_img \
+    --run-dir "runs_r2/$tag" \
+    --epochs 30 --batch-size 64 \
+    --rd-lambda "$lam" --rd-lambda-step 0 \
+    --val-every-steps 500 \
+    > "runs_r2/$tag.log" 2>&1
+  echo "exit=$? $(date)"
+done
+
+echo "=== deep preset (tf1_13 topology) $(date) ==="
+timeout 4h $PY train --tpu-native --preset deep \
+  --data /root/reference/data/imagenet_patches \
+  --val /root/reference/data/kodak_img \
+  --run-dir runs_r2/deep_l001 \
+  --epochs 30 --batch-size 64 \
+  --rd-lambda 0.01 --rd-lambda-step 0 \
+  --distortion ms_ssim \
+  --val-every-steps 500 \
+  > runs_r2/deep_l001.log 2>&1
+echo "exit=$? $(date)"
+echo "QUEUE B DONE $(date)"
