@@ -58,7 +58,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("runs", nargs="+")
     parser.add_argument("--val", default="/root/reference/data/kodak_img")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force XLA:CPU (leave the TPU to training jobs)")
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     rows = []
     for run in args.runs:
         row = report_run(run, args.val)
@@ -68,10 +74,10 @@ def main() -> None:
     print("| run | coder | bpp | PSNR | MS-SSIM | PNG-rate same latents |")
     print("|---|---|---|---|---|---|")
     for r in rows:
-        coder = r["bitstream"] + (
-            "+ctx" if r["context"] == "checkerboard" and r["bitstream"] == "rans"
-            else ""
+        suffix = {"checkerboard": "+ctx", "hyperprior": "+hyper"}.get(
+            r["context"], ""
         )
+        coder = r["bitstream"] + (suffix if r["bitstream"] != "png" else "")
         print(
             f"| {r['run']} | {coder} | {r['mean_bpp']} | {r['mean_psnr']} "
             f"| {r['mean_ms_ssim']} | {r['png_rate_same_latents_bpp']} |"

@@ -149,3 +149,24 @@ def test_tiled_bitstream_with_context_codec(rng):
         codec.decode(params, codec.encode(params, rgb[None]), out_hw=rgb.shape[:2])
     )[0]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tiled_encode_integer_grid_matches_whole_image(rng):
+    """Tile-count invariance must hold for the flagship integer-grid codec
+    too (unbounded latent; edge masks are structural, not clip-dependent)."""
+    import dataclasses
+
+    from neural_network_image_compression_tpu.config import tpu_native
+
+    cfg = tpu_native()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0))
+    mesh = make_mesh(data=1, spatial=4)
+    rgb = rng.integers(0, 256, (1, 64, 256, 3), dtype=np.uint8)
+    whole = np.asarray(codec.encode(params, rgb))
+    tiled = np.asarray(tiled_encode(codec, params, jnp.asarray(rgb), mesh))
+    np.testing.assert_array_equal(whole, tiled)
+    out_whole = np.asarray(codec.decode(params, whole))
+    out_tiled = np.asarray(tiled_decode(codec, params, jnp.asarray(tiled), mesh))
+    np.testing.assert_array_equal(out_whole, out_tiled)
