@@ -1,0 +1,54 @@
+"""CLI argument -> Config wiring (the round-1 advisor found a silent-override
+bug here; these tests pin the fallback semantics)."""
+import argparse
+
+from neural_network_image_compression_tpu.cli import _build_config
+
+
+def _args(**over):
+    base = dict(
+        data="/tmp/x", val="/tmp/y", batch_size=64, epochs=30,
+        rd_lambda=0.01, rd_lambda_step=None, distortion="ssim",
+        preset="base", compute_dtype=None, bitstream=None,
+        entropy_context=None, reference_faithful=False, tpu_native=False,
+        freeze_transforms=False, val_every_steps=None,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_default_config_wiring():
+    cfg = _build_config(_args())
+    assert cfg.model.compute_dtype == "float32"
+    assert cfg.entropy.context == "none"
+    assert cfg.train.rd_lambda_step == 0.01
+    assert cfg.codec.bitstream == "rans"
+
+
+def test_tpu_native_preset_not_clobbered_by_defaults():
+    """Omitted flags must fall back to the preset, not override it."""
+    cfg = _build_config(_args(tpu_native=True))
+    assert cfg.model.compute_dtype == "bfloat16"   # preset's dtype survives
+    assert cfg.model.clip_latent is False
+    assert cfg.quantizer.grid == "integer"
+    assert cfg.entropy.context == "checkerboard"   # ADVICE r1: no forced 'none'
+    assert cfg.train.rd_lambda_step == 0.0         # fixed-lambda preset survives
+
+
+def test_explicit_flags_override_preset():
+    cfg = _build_config(
+        _args(tpu_native=True, compute_dtype="float32",
+              entropy_context="hyperprior", rd_lambda_step=0.02)
+    )
+    assert cfg.model.compute_dtype == "float32"
+    assert cfg.entropy.context == "hyperprior"
+    assert cfg.train.rd_lambda_step == 0.02
+
+
+def test_reference_faithful_wiring():
+    cfg = _build_config(_args(reference_faithful=True))
+    assert cfg.entropy.kind == "regressor"
+    assert cfg.entropy.regressor_target == "png"
+    assert cfg.quantizer.noise_to_rate_model is False
+    assert cfg.train.chroma_lambda == 0.01
+    assert cfg.codec.bitstream == "png"
