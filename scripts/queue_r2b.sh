@@ -6,6 +6,10 @@ cd /root/repo
 while ! grep -q "QUEUE DONE" runs_r2_queue.log 2>/dev/null; do sleep 60; done
 PY="python -m neural_network_image_compression_tpu"
 
+echo "=== bench validation on chip $(date) ==="
+timeout 30m python bench.py > BENCH_mid_r2.json 2> runs_r2/bench_mid.log
+echo "bench exit=$? $(date)"; cat BENCH_mid_r2.json
+
 for lam in 0.003 0.01 0.03; do
   tag="hyp_l${lam//./}"
   echo "=== hyper sweep $tag (lambda=$lam) $(date) ==="
