@@ -180,3 +180,66 @@ def test_integer_grid_lambda_controls_rate(tiny_images):
     assert np.isfinite(high) and np.isfinite(low)
     # measured: ~4.6 vs ~5.7 after 150 steps (and diverging further)
     assert high < 0.9 * low, (high, low)
+
+
+def test_freeze_transforms_exact_under_nonzero_moments(tiny_images):
+    """ADVICE r1: zeroing gradients under Adam still updates params while the
+    first moment decays. The optax.multi_transform freeze must hold the
+    transforms EXACTLY still even when training resumes from a state whose
+    transform moments are nonzero."""
+    import copy
+
+    import optax
+
+    from neural_network_image_compression_tpu.training.train_step import (
+        make_optimizer,
+    )
+
+    # Phase 1: normal training -> nonzero Adam moments everywhere.
+    cfg = _tiny_cfg()
+    codec = NeuralCodec(cfg)
+    state = init_train_state(codec, jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(codec, cfg))
+    key = jax.random.key(9)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, tiny_images[:4], sub)
+
+    # Phase 2: freeze_transforms run whose optimizer *state tree* keeps the
+    # warm-started params but fresh (frozen-aware) moments; then verify the
+    # transforms never move across steps.
+    fcfg = _tiny_cfg(freeze_transforms=True)
+    fcodec = NeuralCodec(fcfg)
+    ftx = make_optimizer(fcfg)
+    params = jax.device_get(state.params)
+    fstate = init_train_state(fcodec, jax.random.key(1), fcfg)._replace(
+        params=params, opt_state=ftx.init(params)
+    )
+    before = {
+        k: copy.deepcopy(jax.device_get(v))
+        for k, v in params.items()
+        if k.startswith(("analysis", "synthesis"))
+    }
+    fstep = jax.jit(make_train_step(fcodec, fcfg))
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        fstate, metrics = fstep(fstate, tiny_images[:4], sub)
+    after = jax.device_get(fstate.params)
+    for k, tree in before.items():
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tree),
+            jax.tree_util.tree_leaves(after[k]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...while the rate side did train
+    moved = False
+    for k in after:
+        if k.startswith(("analysis", "synthesis")):
+            continue
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(params[k])),
+            jax.tree_util.tree_leaves(after[k]),
+        ):
+            if np.abs(np.asarray(a) - np.asarray(b)).max() > 0:
+                moved = True
+    assert moved
