@@ -170,6 +170,10 @@ def main(argv: list[str] | None = None) -> int:
     p_rd = sub.add_parser("rd", help="rate-distortion point for a directory")
     p_rd.add_argument("--input", required=True)
     p_rd.add_argument("--run", required=True)
+    p_rd.add_argument("--serial", action="store_true",
+                      help="one un-batched dispatch per image (default: "
+                           "shape-grouped jitted batches + threaded coding)")
+    p_rd.add_argument("--batch-size", type=int, default=8)
 
     p_anchor = sub.add_parser("anchors", help="JPEG/PNG classical R-D anchors")
     p_anchor.add_argument("--input", required=True)
@@ -243,10 +247,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "rd":
-        from neural_network_image_compression_tpu.evaluation import rd_point
+        from neural_network_image_compression_tpu.evaluation import (
+            rd_point,
+            rd_point_batched,
+        )
 
         codec, params = _load_run(args.run)
-        result = rd_point(codec, params, args.input)
+        if args.serial:
+            result = rd_point(codec, params, args.input)
+        else:
+            result = rd_point_batched(
+                codec, params, args.input, batch_size=args.batch_size
+            )
         for r in result["files"]:
             print(f"{r.name}\t{r.bpp:.4f} bpp\tpsnr {r.psnr:.2f}\tms-ssim {r.ms_ssim:.4f}")
         print(
