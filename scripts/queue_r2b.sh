@@ -10,7 +10,7 @@ echo "=== bench validation on chip $(date) ==="
 timeout 30m python bench.py > BENCH_mid_r2.json 2> runs_r2/bench_mid.log
 echo "bench exit=$? $(date)"; cat BENCH_mid_r2.json
 
-for lam in 0.003 0.01 0.03; do
+for lam in 0.01 0.1 0.3 0.003 0.03; do
   tag="hyp_l${lam//./}"
   echo "=== hyper sweep $tag (lambda=$lam) $(date) ==="
   timeout 4h $PY train --tpu-native --entropy-context hyperprior \
