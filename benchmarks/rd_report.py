@@ -17,7 +17,7 @@ import json
 import numpy as np
 
 
-def report_run(run_dir: str, val_dir: str) -> dict:
+def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None) -> dict:
     import jax.numpy as jnp
 
     from neural_network_image_compression_tpu.cli import _load_run
@@ -30,6 +30,17 @@ def report_run(run_dir: str, val_dir: str) -> dict:
     from neural_network_image_compression_tpu.ops import pack_planes
 
     codec, params = _load_run(run_dir)
+    if adaptive is not None:
+        import dataclasses
+
+        from neural_network_image_compression_tpu.models import NeuralCodec
+
+        cfg = codec.cfg.replace(
+            entropy=dataclasses.replace(
+                codec.cfg.entropy, adaptive_tables=adaptive
+            )
+        )
+        codec = NeuralCodec(cfg)
     r = rd_point(codec, params, val_dir)
     png_bpps = []
     for name in list_images(val_dir):
@@ -60,6 +71,9 @@ def main() -> None:
     parser.add_argument("--val", default="/root/reference/data/kodak_img")
     parser.add_argument("--cpu", action="store_true",
                         help="force XLA:CPU (leave the TPU to training jobs)")
+    parser.add_argument("--adaptive", action="store_true",
+                        help="enable per-image adaptive tables regardless of "
+                             "the run's stored config")
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -67,7 +81,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     rows = []
     for run in args.runs:
-        row = report_run(run, args.val)
+        row = report_run(run, args.val, adaptive=True if args.adaptive else None)
         rows.append(row)
         print(json.dumps(row), flush=True)
     print()

@@ -43,12 +43,16 @@ def build_tables(codec, params, precision: int | None = None) -> tuple:
 
 
 def encode_latent(
-    sym: np.ndarray, cdf_y: np.ndarray, cdf_c: np.ndarray, precision: int = 16
+    sym: np.ndarray, cdf_y: np.ndarray, cdf_c: np.ndarray, precision: int = 16,
+    plane_tables: list | None = None,
 ) -> list[bytes]:
-    """[h,w,3C] uint8 symbols -> 3 independent plane streams [Y, Cb, Cr]."""
+    """[h,w,3C] uint8 symbols -> 3 independent plane streams [Y, Cb, Cr].
+
+    ``plane_tables`` (optional [t_y, t_cb, t_cr]) overrides the model tables
+    — the per-image adaptive path (coding/adaptive.py)."""
     cch = cdf_y.shape[0]
     streams = []
-    for p, table in enumerate((cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
         streams.append(rans.encode(plane, table, precision))
     return streams
@@ -60,12 +64,13 @@ def decode_latent(
     cdf_y: np.ndarray,
     cdf_c: np.ndarray,
     precision: int = 16,
+    plane_tables: list | None = None,
 ) -> np.ndarray:
     """Inverse of :func:`encode_latent` -> [h,w,3C] uint8 symbols."""
     h, w = lat_hw
     cch = cdf_y.shape[0]
     planes = []
-    for p, table in enumerate((cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         flat = rans.decode(streams[p], h * w * cch, table, precision)
         planes.append(flat.reshape(h, w, cch))
     return np.concatenate(planes, axis=-1)
@@ -130,10 +135,12 @@ def _ctx_fn(codec):
 
 
 def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
-                      precision: int) -> list[bytes]:
+                      precision: int,
+                      plane_tables: list | None = None) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, an anchor stream (factorized
-    CDFs, existing coder) then a context stream (mean-shifted residuals coded
-    with scale-binned Gaussian rows through the indexed rANS coder)."""
+    CDFs — or per-image ``plane_tables`` — existing coder) then a context
+    stream (mean-shifted residuals coded with scale-binned Gaussian rows
+    through the indexed rANS coder)."""
     levels = codec.levels
     cch = cdf_y.shape[0]
     h, w = sym.shape[:2]
@@ -144,7 +151,7 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
     mean = np.asarray(mean)
     scale = np.asarray(scale, np.float32)
     streams: list[bytes] = []
-    for p, table in enumerate((cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
         streams.append(rans.encode(plane[amask], table, precision))
         s = plane[nmask].astype(np.int64)                       # [n_non, C]
@@ -162,7 +169,8 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
 
 def decode_latent_ctx(codec, params, streams: list[bytes],
                       lat_hw: tuple[int, int], cdf_y, cdf_c,
-                      precision: int) -> np.ndarray:
+                      precision: int,
+                      plane_tables: list | None = None) -> np.ndarray:
     """Inverse of :func:`encode_latent_ctx` -> [h,w,3C] uint8 symbols.
     Pass 1 decodes all anchors; one jitted context-net call then gives every
     non-anchor's conditional parameters for pass 2 (no sequential scan)."""
@@ -173,7 +181,7 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
     nmask = ~amask
     n_anchor = int(amask.sum())
     sym = np.zeros((h, w, 3 * cch), np.uint8)
-    for p, table in enumerate((cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         flat = rans.decode(streams[2 * p], n_anchor * cch, table, precision)
         plane = np.zeros((h, w, cch), np.uint8)
         plane[amask] = flat.reshape(n_anchor, cch)
@@ -377,20 +385,60 @@ def compress_symbols(codec, params, sym: np.ndarray,
     precision = codec.cfg.entropy.cdf_precision
     ctx = codec.context_y is not None
     hyper = getattr(codec, "hyper_enc_y", None) is not None
+    adaptive = (
+        getattr(codec.cfg.entropy, "adaptive_tables", False) and not hyper
+    )
     if hyper:
         streams = encode_latent_hyper(codec, params, sym, tables, precision)
-    elif ctx:
-        streams = encode_latent_ctx(codec, params, sym, cdf_y, cdf_c, precision)
     else:
-        streams = encode_latent(sym, cdf_y, cdf_c, precision)
+        def encode_with(plane_tables):
+            if ctx:
+                return encode_latent_ctx(
+                    codec, params, sym, cdf_y, cdf_c, precision, plane_tables
+                )
+            return encode_latent(sym, cdf_y, cdf_c, precision, plane_tables)
+
+        streams = encode_with(None)
+        if adaptive:
+            # Encoder-side decision (like the 'auto' PNG choice): per-image
+            # tables win on statistics mismatch but cost ~10 B/channel of
+            # table — emit them only when the total shrinks. Decode is
+            # self-describing via flag bit3 either way.
+            from neural_network_image_compression_tpu.coding.adaptive import (
+                plane_histogram_cdf,
+                serialize_cdf,
+            )
+
+            cch = codec.latent_channels
+            amask = _anchor_mask(*sym.shape[:2]) if ctx else None
+            plane_tables = [
+                plane_histogram_cdf(
+                    sym[..., p * cch : (p + 1) * cch], codec.levels,
+                    precision, mask=amask,
+                )
+                for p in range(3)
+            ]
+            table_blobs = [serialize_cdf(t, precision) for t in plane_tables]
+            data = encode_with(plane_tables)
+            per = len(data) // 3
+            candidate = []
+            for p in range(3):
+                candidate.append(table_blobs[p])
+                candidate.extend(data[per * p : per * (p + 1)])
+            if sum(map(len, candidate)) + 4 * 3 < sum(map(len, streams)):
+                streams = candidate
+            else:
+                adaptive = False
     if mode is None:
         mode = codec.cfg.codec.bitstream
-    kind, passes, n_planes = "rans", 2 if (ctx or hyper) else 1, 3
+    passes = 1 + (1 if (ctx or hyper) else 0) + (1 if adaptive else 0)
+    kind, n_planes = "rans", 3
     if mode == "auto":
         png = _png_stream(sym)
         if len(png) < sum(len(b) for b in streams):
             streams, kind, passes, n_planes = [png], "png", 1, 1
             hyper = False
+            adaptive = False
     import zlib
 
     header = ContainerHeader(
@@ -406,6 +454,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
         passes=passes,
         kind=kind,
         hyper=hyper,
+        adaptive=adaptive,
         # Decode verifies this (ADVICE r1): the two-pass context streams
         # recompute float conv outputs, so a cross-platform numeric drift
         # must fail loudly instead of silently corrupting the image.
@@ -447,19 +496,36 @@ def decompress_image(codec, params, data: bytes, tables=None,
         tables = build_tables(codec, params)
     cdf_y, cdf_c = tables[0], tables[1]
     precision = codec.cfg.entropy.cdf_precision
+    plane_tables = None
+    if header.adaptive:
+        from neural_network_image_compression_tpu.coding.adaptive import (
+            deserialize_cdf,
+        )
+
+        per = header.passes
+        plane_tables = [
+            deserialize_cdf(
+                streams[p * per], header.latent_channels, header.levels,
+                precision,
+            )
+            for p in range(3)
+        ]
+        streams = [s for i, s in enumerate(streams) if i % per != 0]
+    conditional = header.passes - 1 - (1 if header.adaptive else 0)
     if header.hyper:
         sym = decode_latent_hyper(
             codec, params, streams, (header.lat_h, header.lat_w),
             tables, precision,
         )
-    elif header.passes == 2:
+    elif conditional == 1:
         sym = decode_latent_ctx(
             codec, params, streams, (header.lat_h, header.lat_w),
-            cdf_y, cdf_c, precision,
+            cdf_y, cdf_c, precision, plane_tables,
         )
     else:
         sym = decode_latent(
-            streams, (header.lat_h, header.lat_w), cdf_y, cdf_c, precision
+            streams, (header.lat_h, header.lat_w), cdf_y, cdf_c, precision,
+            plane_tables,
         )
     if header.sym_crc:
         import zlib

@@ -41,7 +41,9 @@ from dataclasses import dataclass, field
 
 MAGIC = b"NIC1"
 VERSION = 2
-_KNOWN_FLAGS = 0b111  # bit0 png, bit1 two-pass context, bit2 hyperprior
+# bit0 png, bit1 two-pass context, bit2 hyperprior,
+# bit3 per-image adaptive tables (first stream of each plane is a table)
+_KNOWN_FLAGS = 0b1111
 
 
 @dataclass
@@ -57,9 +59,11 @@ class ContainerHeader:
     n_planes: int = 3
     n_tiles: int = 1
     kind: str = "rans"  # 'rans' | 'png'
-    passes: int = 1     # 2 = two streams/plane: checkerboard (anchor +
-                        # conditional) or hyperprior (z + conditional)
-    hyper: bool = False # passes==2 streams are hyperprior (z first)
+    passes: int = 1     # streams per plane per tile: 1 + context pass
+                        # (checkerboard or hyper z) + adaptive-table pass
+    hyper: bool = False # second stream per plane is a hyper z stream
+    adaptive: bool = False  # first stream per plane is an embedded per-image
+                            # CDF table (coding/adaptive.py wire format)
     sym_crc: int = 0    # CRC-32 of the symbol array bytes (0 = unchecked)
 
 
@@ -69,15 +73,24 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
         raise ValueError(f"expected {expected} streams, got {len(streams)}")
     mid = header.model_id.encode()
     cs = header.colorspace.encode()
-    flags = 1 if header.kind == "png" else 0
-    if header.passes == 2:
-        flags |= 2
-    elif header.passes != 1:
-        raise ValueError(f"unsupported passes {header.passes}")
-    if header.hyper:
-        if header.passes != 2:
-            raise ValueError("hyper containers carry 2 streams per plane")
-        flags |= 4
+    if header.kind == "png":
+        flags = 1
+        if header.passes != 1 or header.hyper or header.adaptive:
+            raise ValueError("png containers carry one opaque stream")
+    else:
+        flags = 0
+        conditional = header.passes - 1 - (1 if header.adaptive else 0)
+        if conditional not in (0, 1):
+            raise ValueError(
+                f"passes {header.passes} inconsistent with "
+                f"adaptive={header.adaptive}"
+            )
+        if header.hyper and conditional != 1:
+            raise ValueError("hyper containers need a conditional pass")
+        if conditional == 1:
+            flags |= 4 if header.hyper else 2
+        if header.adaptive:
+            flags |= 8
     parts = [
         MAGIC,
         struct.pack("<BB", VERSION, flags),
@@ -130,7 +143,10 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
     if version >= 2:
         (sym_crc,) = struct.unpack_from("<I", data, pos)
         pos += 4
-    passes = 2 if flags & 2 else 1
+    if flags & 1:
+        passes = 1
+    else:
+        passes = 1 + (1 if flags & (2 | 4) else 0) + (1 if flags & 8 else 0)
     n_streams = n_planes * n_tiles * passes
     lengths = struct.unpack_from(f"<{n_streams}I", data, pos)
     pos += 4 * n_streams
@@ -154,6 +170,7 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         kind="png" if flags & 1 else "rans",
         passes=passes,
         hyper=bool(flags & 4),
+        adaptive=bool(flags & 8),
         sym_crc=sym_crc,
     )
     return header, streams

@@ -76,6 +76,12 @@ class EntropyConfig:
     scale_bins: int = 64                 # conditional-Gaussian CDF rows
     scale_min: float = 0.11              # sigma range (symbol units)
     scale_max: float = 256.0
+    # Per-image adaptive CDF tables (coding/adaptive.py): the encoder
+    # histograms the actual symbols and embeds exact tables in the container
+    # (~10 B/channel) — the learned codec's dynamic-Huffman. Applies to the
+    # factorized streams (whole plane, or anchors under the checkerboard);
+    # not used with the hyperprior (its conditional already adapts).
+    adaptive_tables: bool = False
 
 
 @dataclass(frozen=True)
@@ -210,7 +216,7 @@ def reference_faithful() -> Config:
 def tpu_native(rd_lambda: float = 0.01) -> Config:
     return Config(
         model=ModelConfig(clip_latent=False, compute_dtype="bfloat16"),
-        entropy=EntropyConfig(context="checkerboard"),
+        entropy=EntropyConfig(context="checkerboard", adaptive_tables=True),
         quantizer=QuantizerConfig(grid="integer"),
         train=TrainConfig(rd_lambda=rd_lambda, rd_lambda_step=0.0),
         codec=CodecConfig(model_id="base-ycbcr-32-int"),

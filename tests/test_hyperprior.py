@@ -109,7 +109,7 @@ def test_hyper_odd_latent_grid(rng):
     np.testing.assert_array_equal(recon, direct)
 
 
-def test_hyper_lambda_controls_rate(rng):
+def test_hyper_lambda_controls_rate():
     """The hyperprior training path must collapse rate under a big lambda
     (same property as the checkerboard/integer-grid test)."""
     from neural_network_image_compression_tpu.training import (
@@ -117,7 +117,11 @@ def test_hyper_lambda_controls_rate(rng):
         make_train_step,
     )
 
-    imgs = (rng.random((4, 16, 16, 3)) * 255).astype(np.uint8)
+    # local rng: the shared session fixture's draw position depends on test
+    # order and this margin-based test must be deterministic
+    imgs = (np.random.default_rng(7).random((4, 16, 16, 3)) * 255).astype(
+        np.uint8
+    )
 
     def run(lam):
         cfg = _hyper_cfg().replace(
