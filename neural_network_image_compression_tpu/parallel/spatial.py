@@ -217,18 +217,39 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
     lat_w = valid_w // ds  # logical latent width (zeros beyond are dropped)
     tile_w = sym.shape[1] // n_sp
     precision = codec.cfg.entropy.cdf_precision
+    adaptive = getattr(codec.cfg.entropy, "adaptive_tables", False)
+    per = 2 if adaptive else 1
+    cch = codec.latent_channels
     streams = []
     for t in range(n_sp):
         lo = t * tile_w
         hi = min((t + 1) * tile_w, lat_w)
         if hi <= lo:
-            streams.extend([b"", b"", b""])
+            streams.extend([b""] * (3 * per))
             continue
         tile = np.ascontiguousarray(sym[:, lo:hi])
         # Per-tile streams use the plain factorized tables (tables[:2]) —
         # tile independence is the point; conditional models (checkerboard/
         # hyperprior) would couple tiles through their conditioning field.
-        streams.extend(encode_latent(tile, tables[0], tables[1], precision))
+        # With adaptive_tables, each tile embeds its own exact per-channel
+        # histogram tables (coding/adaptive.py) — still fully independent,
+        # and the only sane rate for hyperprior codecs whose static
+        # factorized tables are untrained.
+        if adaptive:
+            from neural_network_image_compression_tpu.coding.adaptive import (
+                plane_histogram_cdf,
+                serialize_cdf,
+            )
+
+            from neural_network_image_compression_tpu.coding import rans
+
+            for p in range(3):
+                plane = np.ascontiguousarray(tile[..., p * cch : (p + 1) * cch])
+                tab = plane_histogram_cdf(plane, codec.levels, precision)
+                streams.append(serialize_cdf(tab, precision))
+                streams.append(rans.encode(plane, tab, precision))
+        else:
+            streams.extend(encode_latent(tile, tables[0], tables[1], precision))
     import zlib
 
     header = ContainerHeader(
@@ -241,6 +262,8 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
         lat_h=lat_h,
         lat_w=lat_w,
         n_tiles=n_sp,
+        passes=per,
+        adaptive=adaptive,
         sym_crc=zlib.crc32(np.ascontiguousarray(sym[:, :lat_w]).tobytes()) or 1,
     )
     return pack_container(header, streams)
@@ -261,21 +284,43 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
     lat_w = header.lat_w
     padded_lat_w = -(-lat_w // n_sp) * n_sp
     tile_w = padded_lat_w // n_sp
+    per = header.passes
+    precision = codec.cfg.entropy.cdf_precision
     tiles = []
     for t in range(n_sp):
         lo = t * tile_w
         hi = min((t + 1) * tile_w, lat_w)
         if hi <= lo:
             break
-        tiles.append(
-            decode_latent(
-                streams[3 * t : 3 * t + 3],
-                (header.lat_h, hi - lo),
-                tables[0],
-                tables[1],
-                codec.cfg.entropy.cdf_precision,
+        tile_streams = streams[3 * per * t : 3 * per * (t + 1)]
+        if header.adaptive:
+            from neural_network_image_compression_tpu.coding import rans
+            from neural_network_image_compression_tpu.coding.adaptive import (
+                deserialize_cdf,
             )
-        )
+
+            cch = header.latent_channels
+            planes = []
+            for p in range(3):
+                tab = deserialize_cdf(
+                    tile_streams[2 * p], cch, header.levels, precision
+                )
+                flat = rans.decode(
+                    tile_streams[2 * p + 1], header.lat_h * (hi - lo) * cch,
+                    tab, precision,
+                )
+                planes.append(flat.reshape(header.lat_h, hi - lo, cch))
+            tiles.append(np.concatenate(planes, axis=-1))
+        else:
+            tiles.append(
+                decode_latent(
+                    tile_streams,
+                    (header.lat_h, hi - lo),
+                    tables[0],
+                    tables[1],
+                    precision,
+                )
+            )
     sym = np.concatenate(tiles, axis=1)
     if header.sym_crc:
         import zlib

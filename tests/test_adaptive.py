@@ -145,3 +145,39 @@ def test_adaptive_never_larger_than_static(rng):
     blob_a = compress_image(codec_a, params, rgb)
     # encoder-side decision: adaptive containers are never larger than static
     assert len(blob_a) <= len(blob_s)
+
+
+def test_tiled_bitstream_adaptive_and_hyper(rng):
+    """Tiled containers with per-tile adaptive tables round-trip bit-exactly
+    — including for hyperprior codecs, whose static factorized tables are
+    untrained (adaptive per-tile histograms are the only sane rate there)."""
+    import jax.numpy as jnp
+
+    from neural_network_image_compression_tpu.config import (
+        Config,
+        EntropyConfig,
+        ModelConfig,
+        QuantizerConfig,
+    )
+    from neural_network_image_compression_tpu.models import NeuralCodec
+    from neural_network_image_compression_tpu.parallel import (
+        compress_image_tiled,
+        decompress_image_tiled,
+        make_mesh,
+    )
+
+    mesh = make_mesh(data=1, spatial=4)
+    for ctx in ("none", "hyperprior"):
+        cfg = Config(
+            model=ModelConfig(clip_latent=False),
+            entropy=EntropyConfig(context=ctx, adaptive_tables=True),
+            quantizer=QuantizerConfig(grid="integer"),
+        )
+        codec = NeuralCodec(cfg)
+        params = codec.init(jax.random.key(0))
+        rgb = rng.integers(0, 256, (64, 256, 3), dtype=np.uint8)
+        blob = compress_image_tiled(codec, params, rgb, mesh)
+        out = decompress_image_tiled(codec, params, blob, mesh)
+        whole_sym = np.asarray(codec.encode(params, rgb[None]))
+        whole = np.asarray(codec.decode(params, whole_sym, out_hw=(64, 256)))[0]
+        np.testing.assert_array_equal(out, whole)
