@@ -492,9 +492,12 @@ def decompress_image(codec, params, data: bytes, tables=None,
             params, sym[None], out_hw=(header.orig_h, header.orig_w)
         )
         return np.asarray(rgb)[0]
-    if tables is None:
+    # Model tables are only needed when some stream is coded with them:
+    # adaptive containers (without a hyper z stream) are self-describing.
+    needs_model_tables = header.hyper or not header.adaptive
+    if tables is None and needs_model_tables:
         tables = build_tables(codec, params)
-    cdf_y, cdf_c = tables[0], tables[1]
+    cdf_y, cdf_c = (tables[0], tables[1]) if tables is not None else (None, None)
     precision = codec.cfg.entropy.cdf_precision
     plane_tables = None
     if header.adaptive:
@@ -511,6 +514,10 @@ def decompress_image(codec, params, data: bytes, tables=None,
             for p in range(3)
         ]
         streams = [s for i, s in enumerate(streams) if i % per != 0]
+        if cdf_y is None:
+            # shape-compatible placeholders: the decode paths below read
+            # only .shape[0] from these when plane_tables override them
+            cdf_y = cdf_c = plane_tables[0]
     conditional = header.passes - 1 - (1 if header.adaptive else 0)
     if header.hyper:
         sym = decode_latent_hyper(
