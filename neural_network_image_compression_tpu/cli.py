@@ -75,6 +75,10 @@ def _build_config(args) -> "Config":
             context=getattr(args, "entropy_context", None)
             or cfg.entropy.context,
         ),
+        quantizer=dataclasses.replace(
+            cfg.quantizer,
+            surrogate=getattr(args, "surrogate", None) or cfg.quantizer.surrogate,
+        ),
         train=dataclasses.replace(
             cfg.train,
             batch_size=args.batch_size,
@@ -127,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                          default=None,
                          help="default: the config preset's dtype")
+    p_train.add_argument("--surrogate", choices=["noise", "ste", "noise+ste"],
+                         default=None,
+                         help="decoder-side quantization surrogate "
+                              "(default: the config preset's)")
     p_train.add_argument("--max-steps", type=int, default=None)
     p_train.add_argument("--val-every-steps", type=int, default=None,
                          dest="val_every_steps",

@@ -11,7 +11,7 @@ def _args(**over):
         rd_lambda=0.01, rd_lambda_step=None, distortion="ssim",
         preset="base", compute_dtype=None, bitstream=None,
         entropy_context=None, reference_faithful=False, tpu_native=False,
-        freeze_transforms=False, val_every_steps=None,
+        freeze_transforms=False, val_every_steps=None, surrogate=None,
     )
     base.update(over)
     return argparse.Namespace(**base)
@@ -52,3 +52,11 @@ def test_reference_faithful_wiring():
     assert cfg.quantizer.noise_to_rate_model is False
     assert cfg.train.chroma_lambda == 0.01
     assert cfg.codec.bitstream == "png"
+
+
+def test_surrogate_flag_wiring():
+    cfg = _build_config(_args(surrogate=None))
+    assert cfg.quantizer.surrogate == "noise"
+    cfg = _build_config(_args(surrogate="noise+ste", tpu_native=True))
+    assert cfg.quantizer.surrogate == "noise+ste"
+    assert cfg.quantizer.grid == "integer"
