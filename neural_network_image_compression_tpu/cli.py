@@ -124,9 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--bitstream", choices=["rans", "png", "auto"], default=None,
                          help="default: config preset's mode (rans; png when "
                               "--reference-faithful)")
-    p_train.add_argument("--entropy-context", choices=["none", "checkerboard"],
+    p_train.add_argument("--entropy-context",
+                         choices=["none", "checkerboard", "hyperprior"],
                          default=None, dest="entropy_context",
-                         help="spatial context model for the rate path "
+                         help="conditional rate model "
                               "(default: the config preset's setting)")
     p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                          default=None,

@@ -60,3 +60,20 @@ def test_surrogate_flag_wiring():
     cfg = _build_config(_args(surrogate="noise+ste", tpu_native=True))
     assert cfg.quantizer.surrogate == "noise+ste"
     assert cfg.quantizer.grid == "integer"
+
+
+def test_hyperprior_context_choice_accepted():
+    """Regression: the --entropy-context choices list must include every
+    config-supported context (queue-B hyper runs died on argparse)."""
+    from neural_network_image_compression_tpu.cli import main
+    import pytest as _pytest
+
+    # argparse exits 2 on invalid choice; building the parser path up to
+    # config construction is enough — intercept before training starts by
+    # passing a bogus data dir and catching the FileNotFoundError from fit.
+    with _pytest.raises((SystemExit, FileNotFoundError, Exception)) as ei:
+        main(["train", "--data", "/nonexistent_dir_xyz",
+              "--entropy-context", "hyperprior", "--epochs", "0"])
+    assert not (isinstance(ei.value, SystemExit) and ei.value.code == 2), (
+        "argparse rejected --entropy-context hyperprior"
+    )
