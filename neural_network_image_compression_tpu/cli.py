@@ -19,8 +19,12 @@ import os
 import sys
 
 
-def _load_run(run_dir: str):
-    """(codec, params) from a training run directory's latest checkpoint."""
+def _load_run(run_dir: str, adaptive: bool | None = None):
+    """(codec, params) from a training run directory's latest checkpoint.
+
+    ``adaptive`` overrides the stored entropy.adaptive_tables — a pure
+    coding-time option (per-image tables, emitted only when they shrink the
+    container), safe to flip on runs trained before it existed."""
     import jax
 
     from neural_network_image_compression_tpu.config import Config
@@ -32,6 +36,10 @@ def _load_run(run_dir: str):
 
     with open(os.path.join(run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
+    if adaptive is not None:
+        cfg = dataclasses.replace(
+            cfg, entropy=dataclasses.replace(cfg.entropy, adaptive_tables=adaptive)
+        )
     codec = NeuralCodec(cfg)
     store = CheckpointStore(os.path.join(run_dir, "checkpoints"))
     template = init_train_state(codec, jax.random.key(0), cfg)
@@ -165,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument("--output", default=None)
     p_comp.add_argument("--password", default=None,
                         help="encrypt containers (authenticated stream cipher)")
+    p_comp.add_argument("--adaptive", action="store_true", default=None,
+                        help="embed per-image CDF tables when they shrink the "
+                             "container (coding-time only; overrides the "
+                             "run's stored config)")
 
     p_dec = sub.add_parser("decompress", help="decompress a bitstream directory")
     p_dec.add_argument("--input", required=True)
@@ -179,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
     p_rd = sub.add_parser("rd", help="rate-distortion point for a directory")
     p_rd.add_argument("--input", required=True)
     p_rd.add_argument("--run", required=True)
+    p_rd.add_argument("--adaptive", action="store_true", default=None,
+                      help="per-image CDF tables (see compress --adaptive)")
     p_rd.add_argument("--serial", action="store_true",
                       help="one un-batched dispatch per image (default: "
                            "shape-grouped jitted batches + threaded coding)")
@@ -227,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compress":
         from neural_network_image_compression_tpu.evaluation import compress_directory
 
-        codec, params = _load_run(args.run)
+        codec, params = _load_run(args.run, adaptive=args.adaptive)
         results = compress_directory(
             codec, params, args.input, args.output, password=args.password
         )
@@ -261,7 +275,7 @@ def main(argv: list[str] | None = None) -> int:
             rd_point_batched,
         )
 
-        codec, params = _load_run(args.run)
+        codec, params = _load_run(args.run, adaptive=args.adaptive)
         if args.serial:
             result = rd_point(codec, params, args.input)
         else:
