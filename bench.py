@@ -27,10 +27,15 @@ BATCH = 8
 ITERS = 20
 
 
-def check_pallas_compiled_parity() -> bool:
-    """Compiled (Mosaic) Pallas kernels vs XLA on the real chip — quantized
-    symbols must match exactly (VERDICT r1 item 9: CI only covers interpret
-    mode on CPU; a Mosaic lowering regression must fail the bench)."""
+def check_pallas_compiled_parity() -> dict:
+    """Compiled (Mosaic) Pallas kernels vs XLA on the real chip (VERDICT r1
+    item 9: CI only covers interpret mode on CPU; a Mosaic lowering
+    regression must fail the bench).
+
+    Tolerance, not exactness: both paths accumulate f32 in different orders
+    (measured on-chip: max |diff| ~3e-4, ~0.02% of quantized symbols flip by
+    one level). A real lowering bug produces diffs orders of magnitude
+    larger; gate at 2e-3 / 0.2% flips / |flip| <= 1 level."""
     import jax
 
     from neural_network_image_compression_tpu.models.autoencoder import (
@@ -45,15 +50,19 @@ def check_pallas_compiled_parity() -> bool:
     got = np.asarray(
         jax.jit(lambda p, x: pc.pallas_synthesis_base(p, x, clip=True))(params, lat)
     )
-    sym_ref = np.round(ref * 255).astype(np.uint8)
-    sym_got = np.round(got * 255).astype(np.uint8)
-    if not np.array_equal(sym_ref, sym_got):
+    max_diff = float(np.abs(ref - got).max())
+    sym_ref = np.round(ref * 255).astype(np.int32)
+    sym_got = np.round(got * 255).astype(np.int32)
+    flips = int((sym_ref != sym_got).sum())
+    flip_frac = flips / sym_ref.size
+    max_flip = int(np.abs(sym_ref - sym_got).max())
+    if max_diff > 2e-3 or flip_frac > 2e-3 or max_flip > 1:
         raise AssertionError(
-            f"compiled Pallas synthesis diverges from XLA: "
-            f"{np.abs(ref - got).max()=}, symbol flips="
-            f"{int((sym_ref != sym_got).sum())}"
+            f"compiled Pallas synthesis diverges from XLA beyond accumulation"
+            f"-order tolerance: max_diff={max_diff:.2e}, "
+            f"flips={flips}/{sym_ref.size}, max_flip={max_flip}"
         )
-    return True
+    return {"max_diff": max_diff, "flip_frac": flip_frac}
 
 
 def measure_tpu() -> dict:
@@ -195,7 +204,7 @@ def measure_torch_baseline() -> float:
 
 
 def main():
-    check_pallas_compiled_parity()
+    parity = check_pallas_compiled_parity()
     stats = measure_tpu()
     base_rate = measure_torch_baseline()
     print(
@@ -209,7 +218,7 @@ def main():
                 "achieved_tflops": round(stats["achieved_tflops"], 2),
                 "mfu": round(stats["mfu"], 4) if stats["mfu"] else None,
                 "device_kind": stats["device_kind"],
-                "pallas_compiled_parity": "ok",
+                "pallas_compiled_parity": f"ok (max_diff {parity['max_diff']:.1e})",
             }
         )
     )
