@@ -23,7 +23,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 H, W = 512, 768
-BATCH = 8
+# Serving batch: BENCH_BATCH env overrides (larger batches fill the MXU
+# better on this model's small-channel convs; measured on-chip per round).
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 ITERS = 20
 
 
