@@ -41,9 +41,20 @@ def bench(n_symbols: int, channels: int = 32, seed: int = 0) -> list[dict]:
     _, t_enc = timeit(lambda: rans.encode(sym, cdf, 16))
     dec, t_dec = timeit(lambda: rans.decode(blob, n_symbols, cdf, 16))
     assert np.array_equal(dec.reshape(sym.shape), sym)
-    rows.append({"engine": "cpp", "encode_msym_s": round(n_symbols / t_enc / 1e6, 2),
+    rows.append({"engine": "cpp-rans32", "encode_msym_s": round(n_symbols / t_enc / 1e6, 2),
                  "decode_msym_s": round(n_symbols / t_dec / 1e6, 2),
                  "bits_per_symbol": round(bpp_equiv, 3)})
+
+    # rans64: 64-bit state, u32 renorm, 4 interleaved states — the serving
+    # decode path (container flag bit4, CodecConfig.coder default).
+    blob64 = rans.encode64(sym, cdf, 16)
+    _, t_enc64 = timeit(lambda: rans.encode64(sym, cdf, 16))
+    dec64, t_dec64 = timeit(lambda: rans.decode64(blob64, n_symbols, cdf, 16))
+    assert np.array_equal(dec64.reshape(sym.shape), sym)
+    rows.append({"engine": "cpp-rans64x4",
+                 "encode_msym_s": round(n_symbols / t_enc64 / 1e6, 2),
+                 "decode_msym_s": round(n_symbols / t_dec64 / 1e6, 2),
+                 "bits_per_symbol": round(8 * len(blob64) / n_symbols, 3)})
 
     # Python twin on a smaller slice (it is ~1000x slower; scale the count).
     n_py = min(n_symbols, 32 * 512)

@@ -44,7 +44,7 @@ def build_tables(codec, params, precision: int | None = None) -> tuple:
 
 def encode_latent(
     sym: np.ndarray, cdf_y: np.ndarray, cdf_c: np.ndarray, precision: int = 16,
-    plane_tables: list | None = None,
+    plane_tables: list | None = None, engine: str = rans.DEFAULT_ENGINE,
 ) -> list[bytes]:
     """[h,w,3C] uint8 symbols -> 3 independent plane streams [Y, Cb, Cr].
 
@@ -54,7 +54,7 @@ def encode_latent(
     streams = []
     for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
-        streams.append(rans.encode(plane, table, precision))
+        streams.append(rans.stream_encode(plane, table, precision, engine))
     return streams
 
 
@@ -65,13 +65,14 @@ def decode_latent(
     cdf_c: np.ndarray,
     precision: int = 16,
     plane_tables: list | None = None,
+    engine: str = rans.DEFAULT_ENGINE,
 ) -> np.ndarray:
     """Inverse of :func:`encode_latent` -> [h,w,3C] uint8 symbols."""
     h, w = lat_hw
     cch = cdf_y.shape[0]
     planes = []
     for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
-        flat = rans.decode(streams[p], h * w * cch, table, precision)
+        flat = rans.stream_decode(streams[p], h * w * cch, table, precision, engine)
         planes.append(flat.reshape(h, w, cch))
     return np.concatenate(planes, axis=-1)
 
@@ -136,7 +137,8 @@ def _ctx_fn(codec):
 
 def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
                       precision: int,
-                      plane_tables: list | None = None) -> list[bytes]:
+                      plane_tables: list | None = None,
+                      engine: str = rans.DEFAULT_ENGINE) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, an anchor stream (factorized
     CDFs — or per-image ``plane_tables`` — existing coder) then a context
     stream (mean-shifted residuals coded with scale-binned Gaussian rows
@@ -153,7 +155,7 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
     streams: list[bytes] = []
     for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
-        streams.append(rans.encode(plane[amask], table, precision))
+        streams.append(rans.stream_encode(plane[amask], table, precision, engine))
         s = plane[nmask].astype(np.int64)                       # [n_non, C]
         mu = np.round(mean[..., p * cch : (p + 1) * cch][nmask]).astype(np.int64) % levels
         wsym = ((s - mu + levels // 2) % levels).astype(np.uint8)
@@ -163,14 +165,15 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
             ),
             len(scale_table) - 1,
         ).astype(np.int32)
-        streams.append(rans.encode_indexed(wsym, idx, scale_cdfs, precision))
+        streams.append(rans.stream_encode_indexed(wsym, idx, scale_cdfs, precision, engine))
     return streams
 
 
 def decode_latent_ctx(codec, params, streams: list[bytes],
                       lat_hw: tuple[int, int], cdf_y, cdf_c,
                       precision: int,
-                      plane_tables: list | None = None) -> np.ndarray:
+                      plane_tables: list | None = None,
+                      engine: str = rans.DEFAULT_ENGINE) -> np.ndarray:
     """Inverse of :func:`encode_latent_ctx` -> [h,w,3C] uint8 symbols.
     Pass 1 decodes all anchors; one jitted context-net call then gives every
     non-anchor's conditional parameters for pass 2 (no sequential scan)."""
@@ -182,7 +185,7 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
     n_anchor = int(amask.sum())
     sym = np.zeros((h, w, 3 * cch), np.uint8)
     for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
-        flat = rans.decode(streams[2 * p], n_anchor * cch, table, precision)
+        flat = rans.stream_decode(streams[2 * p], n_anchor * cch, table, precision, engine)
         plane = np.zeros((h, w, cch), np.uint8)
         plane[amask] = flat.reshape(n_anchor, cch)
         sym[..., p * cch : (p + 1) * cch] = plane
@@ -198,7 +201,7 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
             ),
             len(scale_table) - 1,
         ).astype(np.int32)
-        wsym = rans.decode_indexed(streams[2 * p + 1], idx, scale_cdfs, precision)
+        wsym = rans.stream_decode_indexed(streams[2 * p + 1], idx, scale_cdfs, precision, engine)
         s = (wsym.reshape(mu.shape).astype(np.int64) - levels // 2 + mu) % levels
         plane = sym[..., p * cch : (p + 1) * cch]
         plane[nmask] = s.astype(np.uint8)
@@ -254,7 +257,8 @@ def _hyper_fns(codec):
 
 
 def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
-                        precision: int) -> list[bytes]:
+                        precision: int,
+                        engine: str = rans.DEFAULT_ENGINE) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, the hyper-latent stream
     (factorized hyper CDFs) then the main stream (dense mean-shifted
     residuals through the scale-indexed Gaussian rANS coder)."""
@@ -273,7 +277,7 @@ def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
     for p in range(3):
         ztab = cdf_zy if p == 0 else cdf_zc
         zplane = np.ascontiguousarray(z_sym[..., p * zc : (p + 1) * zc])
-        streams.append(rans.encode(zplane, ztab, precision))
+        streams.append(rans.stream_encode(zplane, ztab, precision, engine))
         yplane = sym[..., p * cch : (p + 1) * cch].astype(np.int64)
         mu = np.round(mean[..., p * cch : (p + 1) * cch]).astype(np.int64) % levels
         wsym = ((yplane - mu + levels // 2) % levels).astype(np.uint8)
@@ -284,8 +288,9 @@ def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
             len(scale_table) - 1,
         ).astype(np.int32)
         streams.append(
-            rans.encode_indexed(
-                wsym.reshape(-1, cch), idx.reshape(-1, cch), scale_cdfs, precision
+            rans.stream_encode_indexed(
+                wsym.reshape(-1, cch), idx.reshape(-1, cch), scale_cdfs,
+                precision, engine,
             )
         )
     return streams
@@ -293,7 +298,8 @@ def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
 
 def decode_latent_hyper(codec, params, streams: list[bytes],
                         lat_hw: tuple[int, int], tables,
-                        precision: int) -> np.ndarray:
+                        precision: int,
+                        engine: str = rans.DEFAULT_ENGINE) -> np.ndarray:
     """Inverse of :func:`encode_latent_hyper`: decode each plane's hyper
     latent, run the hyper-decoder once (jitted, full grid), then decode the
     dense conditional main stream."""
@@ -310,7 +316,7 @@ def decode_latent_hyper(codec, params, streams: list[bytes],
     z_sym = np.zeros((zh, zw, 3 * zc), np.uint8)
     for p in range(3):
         ztab = cdf_zy if p == 0 else cdf_zc
-        flat = rans.decode(streams[2 * p], zh * zw * zc, ztab, precision)
+        flat = rans.stream_decode(streams[2 * p], zh * zw * zc, ztab, precision, engine)
         z_sym[..., p * zc : (p + 1) * zc] = flat.reshape(zh, zw, zc)
     _, cond_fn = _hyper_fns(codec)
     mean, scale = cond_fn(params, z_sym[None], h, w)
@@ -326,8 +332,9 @@ def decode_latent_hyper(codec, params, streams: list[bytes],
             ),
             len(scale_table) - 1,
         ).astype(np.int32)
-        wsym = rans.decode_indexed(
-            streams[2 * p + 1], idx.reshape(-1, cch), scale_cdfs, precision
+        wsym = rans.stream_decode_indexed(
+            streams[2 * p + 1], idx.reshape(-1, cch), scale_cdfs, precision,
+            engine,
         )
         s = (wsym.reshape(h, w, cch).astype(np.int64) - levels // 2 + mu) % levels
         sym[..., p * cch : (p + 1) * cch] = s.astype(np.uint8)
@@ -383,20 +390,26 @@ def compress_symbols(codec, params, sym: np.ndarray,
         tables = build_tables(codec, params)
     cdf_y, cdf_c = tables[0], tables[1]
     precision = codec.cfg.entropy.cdf_precision
+    engine = getattr(codec.cfg.codec, "coder", rans.DEFAULT_ENGINE)
     ctx = codec.context_y is not None
     hyper = getattr(codec, "hyper_enc_y", None) is not None
     adaptive = (
         getattr(codec.cfg.entropy, "adaptive_tables", False) and not hyper
     )
     if hyper:
-        streams = encode_latent_hyper(codec, params, sym, tables, precision)
+        streams = encode_latent_hyper(
+            codec, params, sym, tables, precision, engine
+        )
     else:
         def encode_with(plane_tables):
             if ctx:
                 return encode_latent_ctx(
-                    codec, params, sym, cdf_y, cdf_c, precision, plane_tables
+                    codec, params, sym, cdf_y, cdf_c, precision, plane_tables,
+                    engine,
                 )
-            return encode_latent(sym, cdf_y, cdf_c, precision, plane_tables)
+            return encode_latent(
+                sym, cdf_y, cdf_c, precision, plane_tables, engine
+            )
 
         streams = encode_with(None)
         if adaptive:
@@ -455,6 +468,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
         kind=kind,
         hyper=hyper,
         adaptive=adaptive,
+        coder=engine if kind == "rans" else "rans32",
         # Decode verifies this (ADVICE r1): the two-pass context streams
         # recompute float conv outputs, so a cross-platform numeric drift
         # must fail loudly instead of silently corrupting the image.
@@ -519,20 +533,21 @@ def decompress_image(codec, params, data: bytes, tables=None,
             # only .shape[0] from these when plane_tables override them
             cdf_y = cdf_c = plane_tables[0]
     conditional = header.passes - 1 - (1 if header.adaptive else 0)
+    engine = header.coder
     if header.hyper:
         sym = decode_latent_hyper(
             codec, params, streams, (header.lat_h, header.lat_w),
-            tables, precision,
+            tables, precision, engine,
         )
     elif conditional == 1:
         sym = decode_latent_ctx(
             codec, params, streams, (header.lat_h, header.lat_w),
-            cdf_y, cdf_c, precision, plane_tables,
+            cdf_y, cdf_c, precision, plane_tables, engine,
         )
     else:
         sym = decode_latent(
             streams, (header.lat_h, header.lat_w), cdf_y, cdf_c, precision,
-            plane_tables,
+            plane_tables, engine,
         )
     if header.sym_crc:
         import zlib

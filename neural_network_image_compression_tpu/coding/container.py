@@ -12,7 +12,10 @@ Layout (little-endian):
     magic   4s   b"NIC1"
     version u8
     flags   u8       (bit0: bitstream kind, 0=rans 1=png-parity;
-                      bit1: two-pass checkerboard-context streams)
+                      bit1: two-pass checkerboard-context streams;
+                      bit2: hyperprior; bit3: per-image adaptive tables;
+                      bit4: rans64 coder — 64-bit-state 4-way-interleaved
+                      streams, coding/rans.py encode64/decode64)
     model_id        u8 length + utf-8 bytes
     colorspace      u8 length + utf-8 bytes
     levels  u16     quantizer levels
@@ -42,8 +45,10 @@ from dataclasses import dataclass, field
 MAGIC = b"NIC1"
 VERSION = 2
 # bit0 png, bit1 two-pass context, bit2 hyperprior,
-# bit3 per-image adaptive tables (first stream of each plane is a table)
-_KNOWN_FLAGS = 0b1111
+# bit3 per-image adaptive tables (first stream of each plane is a table),
+# bit4 rans64 coder (64-bit-state 4-way-interleaved streams; clear = the
+#      legacy 32-bit single-state byte format)
+_KNOWN_FLAGS = 0b11111
 
 
 @dataclass
@@ -65,6 +70,10 @@ class ContainerHeader:
     adaptive: bool = False  # first stream per plane is an embedded per-image
                             # CDF table (coding/adaptive.py wire format)
     sym_crc: int = 0    # CRC-32 of the symbol array bytes (0 = unchecked)
+    coder: str = "rans32"  # 'rans32' (legacy byte format) | 'rans64'
+                           # (interleaved; flag bit4). Compress paths set this
+                           # from CodecConfig.coder; default keeps bytes of
+                           # hand-built legacy containers unchanged.
 
 
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
@@ -91,6 +100,10 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
             flags |= 4 if header.hyper else 2
         if header.adaptive:
             flags |= 8
+        if header.coder == "rans64":
+            flags |= 16
+        elif header.coder != "rans32":
+            raise ValueError(f"unknown coder {header.coder!r}")
     parts = [
         MAGIC,
         struct.pack("<BB", VERSION, flags),
@@ -172,5 +185,6 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         hyper=bool(flags & 4),
         adaptive=bool(flags & 8),
         sym_crc=sym_crc,
+        coder="rans64" if flags & 16 else "rans32",
     )
     return header, streams

@@ -19,8 +19,17 @@ _SRC = os.path.join(_NATIVE_DIR, "rans.cpp")
 _LIB = os.path.join(_NATIVE_DIR, "librans.so")
 
 _STATE_LOWER_BOUND = 1 << 23
+_STATE64_LOWER_BOUND = 1 << 31
+_WAYS = 4  # rans64 interleave factor (fixed by the byte format)
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
+
+#: Engines: 'rans32' is the original byte-wise single-state coder (container
+#: flag bit4 clear); 'rans64' is the 64-bit-state, u32-renorm, 4-way
+#: interleaved coder (flag bit4 set) — same CDF tables, ~3x decode throughput
+#: because the CPU pipelines four independent state chains.
+ENGINES = ("rans32", "rans64")
+DEFAULT_ENGINE = "rans64"
 
 
 def _build() -> None:
@@ -65,8 +74,65 @@ def _load() -> ctypes.CDLL | None:
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int32, u32p, ctypes.c_int32, u8p,
         ]
+        lib.rans_build_lut.restype = ctypes.c_int64
+        lib.rans_build_lut.argtypes = [
+            u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
+        ]
+        lib.rans64_encode.restype = ctypes.c_int64
+        lib.rans64_encode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u32p, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.rans64_decode.restype = ctypes.c_int64
+        lib.rans64_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, u32p, ctypes.c_int32, u8p, u8p,
+        ]
+        lib.rans64_encode_indexed.restype = ctypes.c_int64
+        lib.rans64_encode_indexed.argtypes = [
+            u8p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u32p, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.rans64_decode_indexed.restype = ctypes.c_int64
+        lib.rans64_decode_indexed.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int32, u32p, ctypes.c_int32, u8p, u8p,
+        ]
         _lib = lib
         return _lib
+
+
+# Decoder slot->symbol tables are pure functions of the CDF array; building
+# one walks rows << precision bytes, which at serving rates rivals the decode
+# itself. Cache a few, keyed by table content (tables change only when the
+# checkpoint does).
+_LUT_CACHE: "dict[tuple, np.ndarray]" = {}
+_LUT_CACHE_MAX = 8
+
+
+def _decoder_lut(cdf: np.ndarray, precision: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    import hashlib
+
+    key = (hashlib.sha1(cdf.tobytes()).digest(), cdf.shape, precision)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        rows = cdf.shape[0]
+        lut = np.empty(rows << precision, np.uint8)
+        r = lib.rans_build_lut(
+            cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rows, cdf.shape[1] - 1, precision,
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if r < 0:
+            raise ValueError("invalid CDF table (rows must sum to 1<<precision)")
+        with _lock:
+            if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+                _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+            _LUT_CACHE[key] = lut
+    return lut
 
 
 def native_available() -> bool:
@@ -283,6 +349,215 @@ def encode_py(symbols: np.ndarray, cdf: np.ndarray, precision: int = 16) -> byte
         [state & 0xFF, (state >> 8) & 0xFF, (state >> 16) & 0xFF, (state >> 24) & 0xFF]
     )
     return head + bytes(reversed(out))
+
+
+# --------------------------------------------------- rans64 (interleaved) API
+
+
+def encode64(symbols: np.ndarray, cdf: np.ndarray, precision: int = 16) -> bytes:
+    """4-way-interleaved 64-bit rANS encode (channel of flat i = i % C)."""
+    flat, cdf, levels = _check(symbols, cdf, precision)
+    lib = _load()
+    if lib is None:
+        return encode64_py(flat, cdf, precision)
+    for cap in (flat.size + (flat.size >> 1) + 64, flat.size * 3 + 64):
+        out = np.empty(cap, np.uint8)
+        n = lib.rans64_encode(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            flat.size, cdf.shape[0], levels,
+            cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            precision,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+    raise RuntimeError("rans64_encode failed")
+
+
+def decode64(data: bytes, n: int, cdf: np.ndarray, precision: int = 16) -> np.ndarray:
+    """Decode n symbols from a :func:`encode64` stream."""
+    cdf = np.ascontiguousarray(cdf, np.uint32)
+    lib = _load()
+    if lib is None:
+        return decode64_py(data, n, cdf, precision)
+    lut = _decoder_lut(cdf, precision)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.uint8)
+    r = lib.rans64_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size, n, cdf.shape[0], cdf.shape[1] - 1,
+        cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        precision,
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if r != n:
+        raise RuntimeError("rans64_decode failed (malformed stream?)")
+    return out
+
+
+def encode64_indexed(symbols: np.ndarray, index: np.ndarray, cdf: np.ndarray,
+                     precision: int = 16) -> bytes:
+    """Interleaved indexed encode: symbol i coded with CDF row ``index[i]``."""
+    flat, idx, cdf = _check_indexed(symbols, index, cdf, precision)
+    lib = _load()
+    if lib is None:
+        return encode64_indexed_py(flat, idx, cdf, precision)
+    levels = cdf.shape[1] - 1
+    for cap in (flat.size + (flat.size >> 1) + 64, flat.size * 3 + 64):
+        out = np.empty(cap, np.uint8)
+        n = lib.rans64_encode_indexed(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flat.size, cdf.shape[0], levels,
+            cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            precision,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+    raise RuntimeError("rans64_encode_indexed failed")
+
+
+def decode64_indexed(data: bytes, index: np.ndarray, cdf: np.ndarray,
+                     precision: int = 16) -> np.ndarray:
+    """Decode len(index) symbols from a :func:`encode64_indexed` stream."""
+    idx = np.ascontiguousarray(index, np.int32).reshape(-1)
+    cdf = np.ascontiguousarray(cdf, np.uint32)
+    lib = _load()
+    if lib is None:
+        return decode64_indexed_py(data, idx, cdf, precision)
+    lut = _decoder_lut(cdf, precision)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(idx.size, np.uint8)
+    r = lib.rans64_decode_indexed(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size, idx.size,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cdf.shape[0], cdf.shape[1] - 1,
+        cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        precision,
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if r != idx.size:
+        raise RuntimeError("rans64_decode_indexed failed (malformed stream?)")
+    return out
+
+
+# Engine dispatchers: the coding layer picks bytes-format by name so the
+# container can record (flag bit4) which coder wrote a stream and decode
+# remains self-describing across releases.
+
+
+def stream_encode(symbols, cdf, precision: int = 16,
+                  engine: str = DEFAULT_ENGINE) -> bytes:
+    return (encode if engine == "rans32" else encode64)(symbols, cdf, precision)
+
+
+def stream_decode(data, n, cdf, precision: int = 16,
+                  engine: str = DEFAULT_ENGINE) -> np.ndarray:
+    return (decode if engine == "rans32" else decode64)(data, n, cdf, precision)
+
+
+def stream_encode_indexed(symbols, index, cdf, precision: int = 16,
+                          engine: str = DEFAULT_ENGINE) -> bytes:
+    fn = encode_indexed if engine == "rans32" else encode64_indexed
+    return fn(symbols, index, cdf, precision)
+
+
+def stream_decode_indexed(data, index, cdf, precision: int = 16,
+                          engine: str = DEFAULT_ENGINE) -> np.ndarray:
+    fn = decode_indexed if engine == "rans32" else decode64_indexed
+    return fn(data, index, cdf, precision)
+
+
+# ------------------------------------------------------- rans64 python twins
+
+
+def _encode64_core(flat, rows_of, cdf, precision: int) -> bytes:
+    """Shared twin body; ``rows_of(i)`` maps flat index -> CDF row."""
+    lower = _STATE64_LOWER_BOUND
+    states = [lower] * _WAYS
+    words: list[int] = []
+    for i in range(flat.size - 1, -1, -1):
+        row = rows_of(i)
+        s = int(flat[i])
+        start = int(cdf[row, s])
+        freq = int(cdf[row, s + 1]) - start
+        w = i % _WAYS
+        x = states[w]
+        x_max = ((lower >> precision) << 32) * freq
+        if x >= x_max:
+            words.append(x & 0xFFFFFFFF)
+            x >>= 32
+        states[w] = ((x // freq) << precision) + (x % freq) + start
+    for w in range(_WAYS):
+        words.append(states[w] & 0xFFFFFFFF)
+        words.append((states[w] >> 32) & 0xFFFFFFFF)
+    return np.asarray(words[::-1], dtype="<u4").tobytes()
+
+
+def _decode64_core(data: bytes, n: int, rows_of, cdf, precision: int) -> np.ndarray:
+    words = np.frombuffer(data, dtype="<u4")
+    states = []
+    pos = 0
+    for _ in range(_WAYS):
+        hi, lo = int(words[pos]), int(words[pos + 1])
+        states.append((hi << 32) | lo)
+        pos += 2
+    states = states[::-1]  # read order is state 3 first
+    mask = (1 << precision) - 1
+    out = np.empty(n, np.uint8)
+    luts = {}
+    for i in range(n):
+        row = rows_of(i)
+        lut = luts.get(row)
+        if lut is None:
+            lut = np.zeros(1 << precision, np.uint8)
+            bounds = cdf[row]
+            for s in range(cdf.shape[1] - 1):
+                lut[bounds[s] : bounds[s + 1]] = s
+            luts[row] = lut
+        w = i % _WAYS
+        x = states[w]
+        slot = x & mask
+        s = int(lut[slot])
+        out[i] = s
+        start = int(cdf[row, s])
+        freq = int(cdf[row, s + 1]) - start
+        x = freq * (x >> precision) + slot - start
+        if x < _STATE64_LOWER_BOUND:
+            x = (x << 32) | int(words[pos])
+            pos += 1
+        states[w] = x
+    return out
+
+
+def encode64_py(symbols, cdf, precision: int = 16) -> bytes:
+    """Pure-python twin; byte-identical to the C++ rans64 encoder."""
+    flat, cdf, _ = _check(symbols, cdf, precision)
+    c = cdf.shape[0]
+    return _encode64_core(flat, lambda i: i % c, cdf, precision)
+
+
+def decode64_py(data: bytes, n: int, cdf, precision: int = 16) -> np.ndarray:
+    cdf = np.asarray(cdf, np.uint32)
+    c = cdf.shape[0]
+    return _decode64_core(data, n, lambda i: i % c, cdf, precision)
+
+
+def encode64_indexed_py(symbols, index, cdf, precision: int = 16) -> bytes:
+    flat, idx, cdf = _check_indexed(symbols, index, cdf, precision)
+    return _encode64_core(flat, lambda i: int(idx[i]), cdf, precision)
+
+
+def decode64_indexed_py(data: bytes, index, cdf, precision: int = 16) -> np.ndarray:
+    idx = np.asarray(index, np.int32).reshape(-1)
+    cdf = np.asarray(cdf, np.uint32)
+    return _decode64_core(data, idx.size, lambda i: int(idx[i]), cdf, precision)
 
 
 def decode_py(data: bytes, n: int, cdf: np.ndarray, precision: int = 16) -> np.ndarray:

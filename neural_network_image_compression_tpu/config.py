@@ -160,6 +160,12 @@ class CodecConfig:
                                          # the reference coder by construction)
     tile_size: int = 0                   # 0 = whole image; else spatial tile edge
     model_id: str = "base-ycbcr-32"
+    coder: str = "rans64"                # entropy-coder byte format:
+                                         # 'rans64' (64-bit state, 4-way
+                                         # interleaved — ~3x decode) |
+                                         # 'rans32' (legacy v1 streams).
+                                         # Decode is self-describing either
+                                         # way (container flag bit4).
 
 
 @dataclass(frozen=True)

@@ -217,6 +217,7 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
     lat_w = valid_w // ds  # logical latent width (zeros beyond are dropped)
     tile_w = sym.shape[1] // n_sp
     precision = codec.cfg.entropy.cdf_precision
+    engine = getattr(codec.cfg.codec, "coder", "rans64")
     adaptive = getattr(codec.cfg.entropy, "adaptive_tables", False)
     per = 2 if adaptive else 1
     cch = codec.latent_channels
@@ -247,9 +248,12 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
                 plane = np.ascontiguousarray(tile[..., p * cch : (p + 1) * cch])
                 tab = plane_histogram_cdf(plane, codec.levels, precision)
                 streams.append(serialize_cdf(tab, precision))
-                streams.append(rans.encode(plane, tab, precision))
+                streams.append(rans.stream_encode(plane, tab, precision, engine))
         else:
-            streams.extend(encode_latent(tile, tables[0], tables[1], precision))
+            streams.extend(
+                encode_latent(tile, tables[0], tables[1], precision,
+                              engine=engine)
+            )
     import zlib
 
     header = ContainerHeader(
@@ -264,6 +268,7 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
         n_tiles=n_sp,
         passes=per,
         adaptive=adaptive,
+        coder=engine,
         sym_crc=zlib.crc32(np.ascontiguousarray(sym[:, :lat_w]).tobytes()) or 1,
     )
     return pack_container(header, streams)
@@ -305,9 +310,9 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
                 tab = deserialize_cdf(
                     tile_streams[2 * p], cch, header.levels, precision
                 )
-                flat = rans.decode(
+                flat = rans.stream_decode(
                     tile_streams[2 * p + 1], header.lat_h * (hi - lo) * cch,
-                    tab, precision,
+                    tab, precision, header.coder,
                 )
                 planes.append(flat.reshape(header.lat_h, hi - lo, cch))
             tiles.append(np.concatenate(planes, axis=-1))
@@ -319,6 +324,7 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
                     tables[0],
                     tables[1],
                     precision,
+                    engine=header.coder,
                 )
             )
     sym = np.concatenate(tiles, axis=1)

@@ -176,3 +176,94 @@ class TestCrypto:
         np.testing.assert_array_equal(out, direct)
         with pytest.raises(ValueError):
             decompress_image(codec, params, blob, tables)  # no password
+
+
+class TestRans64:
+    """64-bit 4-way interleaved coder (container flag bit4): round-trip,
+    byte-identity vs the pure-python twin, and cross-engine containers."""
+
+    @pytest.mark.parametrize("n,c", [(0, 1), (1, 1), (5, 3), (4096, 32), (999, 7)])
+    def test_round_trip(self, rng, n, c):
+        pmf = _skewed_pmf(rng, c, 256)
+        cdf = quantize_pmf(pmf, 16)
+        sym = rng.integers(0, 256, n, dtype=np.uint8)
+        blob = rans.encode64(sym, cdf)
+        np.testing.assert_array_equal(rans.decode64(blob, n, cdf), sym)
+
+    def test_native_matches_python_twin(self, rng):
+        pmf = _skewed_pmf(rng, 4, 256)
+        cdf = quantize_pmf(pmf, 16)
+        sym = rng.integers(0, 256, 1003, dtype=np.uint8)
+        blob = rans.encode64(sym, cdf)
+        assert blob == rans.encode64_py(sym, cdf)
+        np.testing.assert_array_equal(rans.decode64_py(blob, 1003, cdf), sym)
+
+    def test_indexed_round_trip_and_twin(self, rng):
+        pmf = _skewed_pmf(rng, 16, 64)
+        cdf = quantize_pmf(pmf, 16)
+        idx = rng.integers(0, 16, 777).astype(np.int32)
+        sym = rng.integers(0, 64, 777, dtype=np.uint8)
+        blob = rans.encode64_indexed(sym, idx, cdf)
+        np.testing.assert_array_equal(rans.decode64_indexed(blob, idx, cdf), sym)
+        assert blob == rans.encode64_indexed_py(sym, idx, cdf)
+        np.testing.assert_array_equal(
+            rans.decode64_indexed_py(blob, idx, cdf), sym
+        )
+
+    def test_rate_overhead_vs_rans32(self, rng):
+        # Interleaving costs only the extra flush words (4 states instead of
+        # one 32-bit state): ~20 bytes per stream, not a rate regression.
+        pmf = _skewed_pmf(rng, 8, 256)
+        cdf = quantize_pmf(pmf, 16)
+        sym = np.searchsorted(
+            np.cumsum(pmf[0]), rng.random(50_000)
+        ).astype(np.uint8)
+        b32 = rans.encode(sym, cdf)
+        b64 = rans.encode64(sym, cdf)
+        assert len(b64) <= len(b32) + 32
+
+    def test_container_coder_flag_round_trip(self):
+        header = ContainerHeader(
+            model_id="m", colorspace="ycbcr", levels=256, latent_channels=2,
+            orig_h=8, orig_w=8, lat_h=1, lat_w=1, coder="rans64",
+        )
+        blob = pack_container(header, [b"a", b"b", b"c"])
+        got, streams = unpack_container(blob)
+        assert got.coder == "rans64"
+        legacy = ContainerHeader(
+            model_id="m", colorspace="ycbcr", levels=256, latent_channels=2,
+            orig_h=8, orig_w=8, lat_h=1, lat_w=1,
+        )
+        got2, _ = unpack_container(pack_container(legacy, [b"a", b"b", b"c"]))
+        assert got2.coder == "rans32"
+
+    def test_decompress_honours_stream_engine(self, rng):
+        # A container written with the legacy coder must decode on a codec
+        # configured for rans64 (self-describing streams), and vice versa.
+        import dataclasses
+
+        from neural_network_image_compression_tpu.coding.codec_stream import (
+            compress_image as _compress,
+        )
+
+        for write_engine in ("rans32", "rans64"):
+            cfg = Config()
+            cfg = cfg.replace(
+                codec=dataclasses.replace(cfg.codec, coder=write_engine)
+            )
+            codec = NeuralCodec(cfg)
+            params = codec.init(jax.random.key(0), (32, 32))
+            img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            blob = _compress(codec, params, img)
+            header, _ = unpack_container(blob)
+            assert header.coder == write_engine
+            read_cfg = Config()
+            read_cfg = read_cfg.replace(
+                codec=dataclasses.replace(
+                    read_cfg.codec,
+                    coder="rans64" if write_engine == "rans32" else "rans32",
+                )
+            )
+            reader = NeuralCodec(read_cfg)
+            out = decompress_image(reader, params, blob)
+            assert out.shape == (32, 32, 3)
