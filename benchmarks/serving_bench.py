@@ -1,0 +1,80 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""End-to-end serving throughput: container bytes in -> pixels out (and back).
+
+The chip-side forward path runs at hundreds of images/s (bench.py); what a
+deployment actually serves is compress_image/decompress_image — jitted
+transforms PLUS host entropy coding. This harness times those whole calls on
+a trained run and splits out the host-coder share, for both stream engines
+(legacy rans32 vs the interleaved rans64 default), so the coder's throughput
+claim is tied to the user-facing numbers.
+
+Usage: python benchmarks/serving_bench.py [--run runs_r2/int_l001]
+                                          [--image .../kodim21.png] [--reps N]
+Prints one JSON line per (engine, direction).
+"""
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", default="runs_r2/int_l001")
+    p.add_argument("--image",
+                   default="/root/reference/data/kodak_img/kodim21.png")
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from neural_network_image_compression_tpu.cli import _load_run
+    from neural_network_image_compression_tpu.coding import (
+        build_tables,
+        compress_image,
+        decompress_image,
+    )
+    from neural_network_image_compression_tpu.data.io import load_image
+    from neural_network_image_compression_tpu.models import NeuralCodec
+
+    img = load_image(args.image)
+    px = img.shape[0] * img.shape[1]
+    codec0, params = _load_run(args.run)
+
+    for engine in ("rans32", "rans64"):
+        cfg = codec0.cfg.replace(
+            codec=dataclasses.replace(codec0.cfg.codec, coder=engine)
+        )
+        codec = NeuralCodec(cfg)
+        tables = build_tables(codec, params)
+        blob = compress_image(codec, params, img, tables=tables)  # warm jit
+        decompress_image(codec, params, blob, tables=tables)
+
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            blob = compress_image(codec, params, img, tables=tables)
+        t_enc = (time.perf_counter() - t0) / args.reps
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = decompress_image(codec, params, blob, tables=tables)
+        t_dec = (time.perf_counter() - t0) / args.reps
+        assert out.shape == img.shape
+        print(json.dumps({
+            "engine": engine,
+            "bitstream": codec.cfg.codec.bitstream,
+            "context": codec.cfg.entropy.context,
+            "bpp": round(8 * len(blob) / px, 4),
+            "compress_images_per_s": round(1 / t_enc, 2),
+            "decompress_images_per_s": round(1 / t_dec, 2),
+            "compress_ms": round(1e3 * t_enc, 2),
+            "decompress_ms": round(1e3 * t_dec, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
