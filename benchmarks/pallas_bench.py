@@ -60,8 +60,10 @@ def bench_preset(preset: str, batch: int, dtype) -> None:
     pal_s = pc.pallas_synthesis_base if preset == "base" else pc.pallas_synthesis_deep
     t_xla_a = timeit(lambda p, v: ana.apply({"params": p}, v), pa, x)
     t_pal_a = timeit(lambda p, v: pal_a(p, v), pa, x)
+    t_tap_a = timeit(lambda p, v: pal_a(p, v, tap_concat=True), pa, x)
     t_xla_s = timeit(lambda p, v: syn.apply({"params": p}, v), ps, lat)
     t_pal_s = timeit(lambda p, v: pal_s(p, v), ps, lat)
+    t_tap_s = timeit(lambda p, v: pal_s(p, v, tap_concat=True), ps, lat)
 
     def row(name, t):
         print(f"  {name:24s} {t*1e3:8.2f} ms/call  {batch/t:8.1f} img/s")
@@ -69,10 +71,13 @@ def bench_preset(preset: str, batch: int, dtype) -> None:
     print(f"[{preset} preset, {np.dtype(dtype).name}]")
     row("analysis  XLA", t_xla_a)
     row("analysis  pallas", t_pal_a)
+    row("analysis  pallas+tap", t_tap_a)
     row("synthesis XLA", t_xla_s)
     row("synthesis pallas", t_pal_s)
-    print(f"  pallas/XLA speed: analysis {t_xla_a/t_pal_a:.2f}x, "
-          f"synthesis {t_xla_s/t_pal_s:.2f}x")
+    row("synthesis pallas+tap", t_tap_s)
+    print(f"  pallas/XLA speed: analysis {t_xla_a/t_pal_a:.2f}x "
+          f"(tap {t_xla_a/t_tap_a:.2f}x), "
+          f"synthesis {t_xla_s/t_pal_s:.2f}x (tap {t_xla_s/t_tap_s:.2f}x)")
 
 
 def main():

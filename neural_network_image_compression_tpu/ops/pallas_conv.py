@@ -26,6 +26,7 @@ the epilogue runs on the VPU, and the output tile is DMA'd back to HBM.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -67,6 +68,21 @@ def _auto_interpret(flag):
     return flag
 
 
+# Default for the tap-concat contraction (see conv3x3_valid_fused). Off until
+# measured faster on the target chip; NNIC_TAP_CONCAT=1 flips it fleet-wide
+# for A/B runs without code edits.
+_TAP_DEFAULT = os.environ.get("NNIC_TAP_CONCAT", "0") == "1"
+
+
+def _auto_tap(flag, cin):
+    """None -> env default, and never for cin already lane-aligned (the
+    concat relayout can only lose when the per-tap matmuls have no pad
+    waste)."""
+    if cin % 128 == 0:
+        return False
+    return _TAP_DEFAULT if flag is None else flag
+
+
 
 def _epilogue(y, b, slope, res, add_before_act, clip):
     """slope: None (no activation), a float (leaky_relu), or a [1, Cout]
@@ -85,7 +101,13 @@ def _epilogue(y, b, slope, res, add_before_act, clip):
 
 
 def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
-                 TH, acc_dtype=jnp.float32):
+                 TH, acc_dtype=jnp.float32, tap_concat_cin=0):
+    """``tap_concat_cin``: when nonzero, the REAL (unpadded) input-channel
+    count; the kernel then contracts one [TH*W, kh*kw*cin] @ [kh*kw*cin, Cout]
+    matmul instead of kh*kw channel-padded per-tap matmuls. For cin < 128
+    that removes the lane-padding waste (9 taps of 64 real channels are 576
+    contraction lanes = 4.5 MXU passes, vs 9 passes padded), at the cost of a
+    VMEM lane-concat relayout per tile. ``w_v`` is then [kh*kw*cin, Cout]."""
     kh, kw, cin, _ = w_shape
     prelu = slope == "prelu"
 
@@ -129,17 +151,29 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
             cp_res.start()
         stripe_dma(slot, t).wait()
 
-        acc = jnp.zeros((TH * out_w, cout), acc_dtype)
-        for ky in range(kh):
-            for kx in range(kw):
-                # Slice the ref per tap (not one big stripe load): keeps the
-                # value-stack footprint down so TH can stay large.
-                patch = stripe[slot, ky : ky + TH, kx : kx + out_w, :].reshape(
-                    TH * out_w, cin
+        if tap_concat_cin:
+            rc = tap_concat_cin
+            parts = [
+                stripe[slot, ky : ky + TH, kx : kx + out_w, :rc].reshape(
+                    TH * out_w, rc
                 )
-                acc = acc + jnp.dot(
-                    patch, w_v[ky, kx], preferred_element_type=acc_dtype
-                )
+                for ky in range(kh)
+                for kx in range(kw)
+            ]
+            patch = jnp.concatenate(parts, axis=1)
+            acc = jnp.dot(patch, w_v[:], preferred_element_type=acc_dtype)
+        else:
+            acc = jnp.zeros((TH * out_w, cout), acc_dtype)
+            for ky in range(kh):
+                for kx in range(kw):
+                    # Slice the ref per tap (not one big stripe load): keeps
+                    # the value-stack footprint down so TH can stay large.
+                    patch = stripe[
+                        slot, ky : ky + TH, kx : kx + out_w, :
+                    ].reshape(TH * out_w, cin)
+                    acc = acc + jnp.dot(
+                        patch, w_v[ky, kx], preferred_element_type=acc_dtype
+                    )
         res_val = None
         if has_res:
             cp_res.wait()
@@ -178,7 +212,8 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("slope", "add_before_act", "clip", "interpret"),
+    static_argnames=("slope", "add_before_act", "clip", "interpret",
+                     "tap_concat"),
 )
 def conv3x3_valid_fused(
     x: jnp.ndarray,
@@ -191,10 +226,13 @@ def conv3x3_valid_fused(
     add_before_act: bool = False,
     clip: bool = False,
     interpret: bool = False,
+    tap_concat: bool = False,
 ) -> jnp.ndarray:
     """x [N, H+kh-1, W+kw-1, C] (pre-padded), w [kh,kw,C,Cout], b [Cout]
     -> [N, H, W, Cout] with fused epilogue. H is padded up to a TH multiple
-    internally. slope='prelu' uses the per-channel ``alpha`` [Cout] array."""
+    internally. slope='prelu' uses the per-channel ``alpha`` [Cout] array.
+    ``tap_concat``: contract all taps in ONE matmul over kh*kw*C lanes
+    (see _make_kernel) — wins when C % 128 != 0 (removes lane-pad waste)."""
     n, hp, wp, cin = x.shape
     kh, kw, _, cout = w.shape
     h = hp - (kh - 1)
@@ -226,15 +264,22 @@ def conv3x3_valid_fused(
     cout_pad = cout_k - cout
     if cin_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+        if not tap_concat:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
     if cout_pad:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
         b = jnp.pad(b, (0, cout_pad))
         if residual is not None:
             residual = jnp.pad(residual, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
     has_res = residual is not None
+    if tap_concat:
+        # Rows ordered (ky, kx) row-major, cin-minor — matching the kernel's
+        # concat of per-tap slices; a plain reshape of the UNPADDED-cin w.
+        w = w.reshape(kh * kw * cin, cout_k)
     kernel = _make_kernel(
-        w.shape, out_w8, cout_k, slope, has_res, add_before_act, clip, TH
+        (kh, kw, cin_k, cout_k), out_w8, cout_k, slope, has_res,
+        add_before_act, clip, TH,
+        tap_concat_cin=cin if tap_concat else 0,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # x (HBM, manual DMA)
@@ -316,19 +361,21 @@ def _weights_5x5s2_to_3x3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
-                     interpret=None):
+                     interpret=None, tap_concat=None):
     """SAME 5x5 stride-2 conv + epilogue via space-to-depth + core kernel."""
     interpret = _auto_interpret(interpret)
     x4, h_out, w_out = _space_to_depth_for_5x5s2(x)
     w3 = _weights_5x5s2_to_3x3(w)
     out = conv3x3_valid_fused(
-        x4, w3, b, None, alpha, slope=slope, clip=clip, interpret=interpret
+        x4, w3, b, None, alpha, slope=slope, clip=clip, interpret=interpret,
+        tap_concat=_auto_tap(tap_concat, x4.shape[-1]),
     )
     return out[:, :h_out, :w_out]
 
 
 def conv3x3_s1_fused(x, w, b, residual=None, alpha=None, *, slope=0.2,
-                     add_before_act=False, clip=False, interpret=None):
+                     add_before_act=False, clip=False, interpret=None,
+                     tap_concat=None):
     """SAME 3x3 stride-1 conv + epilogue (also: SAME 3x3/s1 conv-transpose,
     which is the identical operator)."""
     interpret = _auto_interpret(interpret)
@@ -336,7 +383,7 @@ def conv3x3_s1_fused(x, w, b, residual=None, alpha=None, *, slope=0.2,
     return conv3x3_valid_fused(
         xp, w, b, residual, alpha,
         slope=slope, add_before_act=add_before_act, clip=clip,
-        interpret=interpret,
+        interpret=interpret, tap_concat=_auto_tap(tap_concat, x.shape[-1]),
     )
 
 
@@ -359,7 +406,7 @@ def _weights_convT5x5s2_phases(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv_transpose5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
-                               interpret=None):
+                               interpret=None, tap_concat=None):
     """SAME 5x5 stride-2 conv-transpose + epilogue via phase decomposition.
     x [N,h,w,C] -> [N,2h,2w,Cout]."""
     interpret = _auto_interpret(interpret)
@@ -370,7 +417,8 @@ def conv_transpose5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
     ap = jnp.tile(alpha, 4) if alpha is not None else None
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ph = conv3x3_valid_fused(
-        xp, wp, bp, None, ap, slope=slope, clip=clip, interpret=interpret
+        xp, wp, bp, None, ap, slope=slope, clip=clip, interpret=interpret,
+        tap_concat=_auto_tap(tap_concat, c),
     )  # [N, h, w, 4*Cout], channel blocks are (p, q)
     ph = ph.reshape(n, h, wd, 2, 2, cout)
     out = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, cout)
@@ -380,36 +428,39 @@ def conv_transpose5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
 # ----------------------------------------------- full transform (base preset)
 
 
-def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=None):
+def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=None,
+                         tap_concat=None):
     """Pallas twin of AnalysisTransform(preset='base').apply — same params
     pytree (flax naming), same outputs to float tolerance."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
-    x = conv5x5_s2_fused(x, *g("conv1"), slope=slope, interpret=interpret)
-    x = conv5x5_s2_fused(x, *g("conv2"), slope=slope, interpret=interpret)
+    x = conv5x5_s2_fused(x, *g("conv1"), slope=slope, interpret=interpret, tap_concat=tap_concat)
+    x = conv5x5_s2_fused(x, *g("conv2"), slope=slope, interpret=interpret, tap_concat=tap_concat)
     res = x
-    x = conv3x3_s1_fused(x, *g("conv3"), slope=slope, interpret=interpret)
+    x = conv3x3_s1_fused(x, *g("conv3"), slope=slope, interpret=interpret, tap_concat=tap_concat)
     # conv4: act then add residual (reference order: x = act(conv4(x)) + res)
     x = conv3x3_s1_fused(
         x, *g("conv4"), residual=res, slope=slope, add_before_act=False,
-        interpret=interpret,
+        interpret=interpret, tap_concat=tap_concat,
     )
-    x = conv5x5_s2_fused(x, *g("conv8"), slope=slope, clip=clip, interpret=interpret)
+    x = conv5x5_s2_fused(x, *g("conv8"), slope=slope, clip=clip, interpret=interpret, tap_concat=tap_concat)
     return x
 
 
-def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None):
+def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None,
+                          tap_concat=None):
     """Pallas twin of SynthesisTransform(preset='base').apply."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
-    x = conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=slope, interpret=interpret)
+    x = conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=slope, interpret=interpret, tap_concat=tap_concat)
     res = x
-    x = conv3x3_s1_fused(x, *g("dconv5"), slope=slope, interpret=interpret)
+    x = conv3x3_s1_fused(x, *g("dconv5"), slope=slope, interpret=interpret, tap_concat=tap_concat)
     x = conv3x3_s1_fused(
         x, *g("dconv6"), residual=res, slope=slope, add_before_act=False,
-        interpret=interpret,
+        interpret=interpret, tap_concat=tap_concat,
     )
-    x = conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=slope, interpret=interpret)
+    x = conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=slope, interpret=interpret, tap_concat=tap_concat)
     x = conv_transpose5x5_s2_fused(
-        x, *g("dconv8"), slope=slope, clip=clip, interpret=interpret
+        x, *g("dconv8"), slope=slope, clip=clip, interpret=interpret,
+        tap_concat=tap_concat,
     )
     return x
 
@@ -417,13 +468,14 @@ def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None):
 # ----------------------------------------------- full transform (deep preset)
 
 
-def pallas_analysis_deep(params, x, *, clip=True, interpret=None):
+def pallas_analysis_deep(params, x, *, clip=True, interpret=None,
+                         tap_concat=None):
     """Pallas twin of AnalysisTransform(preset='deep') — the tf1_13 topology
     (reference tf1_13/src/utils.py:39-58): 16x downsample, PReLU activations,
     residual stages fused as conv+add-before-PReLU epilogues."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
     a = lambda name: params[name]["alpha"]
-    k = dict(slope="prelu", interpret=interpret)
+    k = dict(slope="prelu", interpret=interpret, tap_concat=tap_concat)
     x = conv5x5_s2_fused(x, *g("conv1"), a("act1"), **k)
     x = conv5x5_s2_fused(x, *g("conv2"), a("act2"), **k)
     res = conv3x3_s1_fused(x, *g("conv3"), None, a("act3"), **k)
@@ -435,13 +487,14 @@ def pallas_analysis_deep(params, x, *, clip=True, interpret=None):
     return x
 
 
-def pallas_synthesis_deep(params, x, *, clip=True, interpret=None):
+def pallas_synthesis_deep(params, x, *, clip=True, interpret=None,
+                          tap_concat=None):
     """Pallas twin of SynthesisTransform(preset='deep')
     (reference tf1_13/src/utils.py:60-79). Residual stages use regular convs
     between the transposed-conv upsamples, as in the reference."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
     a = lambda name: params[name]["alpha"]
-    k = dict(slope="prelu", interpret=interpret)
+    k = dict(slope="prelu", interpret=interpret, tap_concat=tap_concat)
     x = conv_transpose5x5_s2_fused(x, *g("dconv1"), a("act1"), **k)
     res = conv3x3_s1_fused(x, *g("dconv2"), None, a("act2"), **k)
     x = conv3x3_s1_fused(res, *g("dconv3"), x, a("act3"), add_before_act=True, **k)

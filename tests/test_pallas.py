@@ -79,6 +79,41 @@ def test_pallas_analysis_base_parity(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_tap_concat_parity(rng):
+    """The tap-concat contraction ([TH*W, 9*Cin] @ [9*Cin, Cout] single
+    matmul) must match the per-tap path bit-for-tolerance on every operator
+    shape the transforms use: padded cin (16), residual, s2 conv, s2
+    transpose."""
+    x = jnp.asarray(rng.standard_normal((2, 18, 20, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    base = pc.conv3x3_valid_fused(x, w, b, slope=0.2, interpret=True)
+    tap = pc.conv3x3_valid_fused(x, w, b, slope=0.2, interpret=True,
+                                 tap_concat=True)
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(base), atol=1e-5)
+
+    res = jnp.asarray(rng.standard_normal((2, 16, 18, 8)).astype(np.float32))
+    base = pc.conv3x3_valid_fused(x, w, b, res, slope=0.2, interpret=True)
+    tap = pc.conv3x3_valid_fused(x, w, b, res, slope=0.2, interpret=True,
+                                 tap_concat=True)
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(base), atol=1e-5)
+
+    xs = jnp.asarray(rng.standard_normal((1, 32, 48, 3)).astype(np.float32))
+    ws = jnp.asarray(rng.standard_normal((5, 5, 3, 8)).astype(np.float32) * 0.1)
+    base = pc.conv5x5_s2_fused(xs, ws, b, slope=0.2, interpret=True)
+    tap = pc.conv5x5_s2_fused(xs, ws, b, slope=0.2, interpret=True,
+                              tap_concat=True)
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(base), atol=1e-5)
+
+    xt = jnp.asarray(rng.standard_normal((1, 10, 12, 6)).astype(np.float32))
+    wt = jnp.asarray(rng.standard_normal((5, 5, 6, 4)).astype(np.float32) * 0.1)
+    bt = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    base = pc.conv_transpose5x5_s2_fused(xt, wt, bt, slope=0.2, interpret=True)
+    tap = pc.conv_transpose5x5_s2_fused(xt, wt, bt, slope=0.2, interpret=True,
+                                        tap_concat=True)
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(base), atol=1e-5)
+
+
 def test_pallas_synthesis_base_parity(rng):
     lat = jnp.asarray(rng.random((1, 8, 8, 32)).astype(np.float32))
     syn = SynthesisTransform(preset="base")
