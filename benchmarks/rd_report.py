@@ -17,7 +17,8 @@ import json
 import numpy as np
 
 
-def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None) -> dict:
+def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None,
+               deterministic: bool | None = None) -> dict:
     import jax.numpy as jnp
 
     from neural_network_image_compression_tpu.cli import _load_run
@@ -30,16 +31,20 @@ def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None) -> dict
     from neural_network_image_compression_tpu.ops import pack_planes
 
     codec, params = _load_run(run_dir)
-    if adaptive is not None:
+    if adaptive is not None or deterministic is not None:
         import dataclasses
 
         from neural_network_image_compression_tpu.models import NeuralCodec
 
-        cfg = codec.cfg.replace(
-            entropy=dataclasses.replace(
-                codec.cfg.entropy, adaptive_tables=adaptive
+        cfg = codec.cfg
+        if adaptive is not None:
+            cfg = cfg.replace(
+                entropy=dataclasses.replace(cfg.entropy, adaptive_tables=adaptive)
             )
-        )
+        if deterministic is not None:
+            cfg = cfg.replace(
+                codec=dataclasses.replace(cfg.codec, deterministic=deterministic)
+            )
         codec = NeuralCodec(cfg)
     r = rd_point(codec, params, val_dir)
     png_bpps = []
@@ -74,6 +79,9 @@ def main() -> None:
     parser.add_argument("--adaptive", action="store_true",
                         help="enable per-image adaptive tables regardless of "
                              "the run's stored config")
+    parser.add_argument("--deterministic", action="store_true",
+                        help="fixed-point (platform-portable) conditional "
+                             "inference — measures the det-mode rate cost")
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -81,7 +89,11 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     rows = []
     for run in args.runs:
-        row = report_run(run, args.val, adaptive=True if args.adaptive else None)
+        row = report_run(
+            run, args.val,
+            adaptive=True if args.adaptive else None,
+            deterministic=True if args.deterministic else None,
+        )
         rows.append(row)
         print(json.dumps(row), flush=True)
     print()

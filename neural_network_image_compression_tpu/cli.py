@@ -19,12 +19,14 @@ import os
 import sys
 
 
-def _load_run(run_dir: str, adaptive: bool | None = None):
+def _load_run(run_dir: str, adaptive: bool | None = None,
+              deterministic: bool | None = None):
     """(codec, params) from a training run directory's latest checkpoint.
 
-    ``adaptive`` overrides the stored entropy.adaptive_tables — a pure
-    coding-time option (per-image tables, emitted only when they shrink the
-    container), safe to flip on runs trained before it existed."""
+    ``adaptive`` overrides the stored entropy.adaptive_tables and
+    ``deterministic`` the stored codec.deterministic — both pure coding-time
+    options (per-image tables / fixed-point portable conditionals), safe to
+    flip on runs trained before they existed."""
     import jax
 
     from neural_network_image_compression_tpu.config import Config
@@ -39,6 +41,10 @@ def _load_run(run_dir: str, adaptive: bool | None = None):
     if adaptive is not None:
         cfg = dataclasses.replace(
             cfg, entropy=dataclasses.replace(cfg.entropy, adaptive_tables=adaptive)
+        )
+    if deterministic is not None:
+        cfg = dataclasses.replace(
+            cfg, codec=dataclasses.replace(cfg.codec, deterministic=deterministic)
         )
     codec = NeuralCodec(cfg)
     store = CheckpointStore(os.path.join(run_dir, "checkpoints"))
@@ -177,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="embed per-image CDF tables when they shrink the "
                              "container (coding-time only; overrides the "
                              "run's stored config)")
+    p_comp.add_argument("--deterministic", action="store_true", default=None,
+                        help="fixed-point conditional inference: containers "
+                             "decode bit-exactly on any platform "
+                             "(coding/detnet.py; tiny rate cost)")
 
     p_dec = sub.add_parser("decompress", help="decompress a bitstream directory")
     p_dec.add_argument("--input", required=True)
@@ -241,7 +251,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compress":
         from neural_network_image_compression_tpu.evaluation import compress_directory
 
-        codec, params = _load_run(args.run, adaptive=args.adaptive)
+        codec, params = _load_run(
+            args.run, adaptive=args.adaptive, deterministic=args.deterministic
+        )
         results = compress_directory(
             codec, params, args.input, args.output, password=args.password
         )

@@ -111,7 +111,9 @@ def _ctx_fn(codec):
     codec.context_params), so running this on the full encoder-side grid and
     on the decoder-side anchors-only grid gives bitwise-identical outputs —
     provided encode and decode run on the same platform (float conv results
-    differ across backends; same-process round-trips are always safe)."""
+    differ across backends; same-process round-trips are always safe). For
+    platform-portable containers use codec.deterministic, which swaps this
+    for the fixed-point integer twin (coding/detnet.py)."""
     fn = getattr(codec, "_ctx_coding_fn", None)
     if fn is None:
         import jax
@@ -135,10 +137,35 @@ def _ctx_fn(codec):
     return fn
 
 
+def _full_mu_idx(codec, mean: np.ndarray, scale: np.ndarray):
+    """Float-path conditional params -> full-grid (mu int64, idx int32)."""
+    scale_table, _ = _codec_scale_tables(codec)
+    mu = np.round(mean).astype(np.int64) % codec.levels
+    idx = np.minimum(
+        np.searchsorted(scale_table, scale, side="left"),
+        len(scale_table) - 1,
+    ).astype(np.int32)
+    return mu, idx
+
+
+def _ctx_mu_idx(codec, params, sym: np.ndarray, det: bool):
+    """Full-grid (mu, idx) for the checkerboard conditional. ``det`` selects
+    the fixed-point integer inference (coding/detnet.py) whose results are
+    bit-identical on every platform; the float path is faster (jitted on the
+    accelerator) but only decodable on the platform that encoded."""
+    if det:
+        from neural_network_image_compression_tpu.coding import detnet
+
+        return detnet.det_context_params(codec, params, sym)
+    mean, scale = _ctx_fn(codec)(params, sym[None])
+    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+
+
 def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
                       precision: int,
                       plane_tables: list | None = None,
-                      engine: str = rans.DEFAULT_ENGINE) -> list[bytes]:
+                      engine: str = rans.DEFAULT_ENGINE,
+                      det: bool = False) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, an anchor stream (factorized
     CDFs — or per-image ``plane_tables`` — existing coder) then a context
     stream (mean-shifted residuals coded with scale-binned Gaussian rows
@@ -148,23 +175,16 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
     h, w = sym.shape[:2]
     amask = _anchor_mask(h, w)
     nmask = ~amask
-    scale_table, scale_cdfs = _codec_scale_tables(codec)
-    mean, scale = _ctx_fn(codec)(params, sym[None])
-    mean = np.asarray(mean)
-    scale = np.asarray(scale, np.float32)
+    _, scale_cdfs = _codec_scale_tables(codec)
+    mu_full, idx_full = _ctx_mu_idx(codec, params, sym, det)
     streams: list[bytes] = []
     for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
         streams.append(rans.stream_encode(plane[amask], table, precision, engine))
         s = plane[nmask].astype(np.int64)                       # [n_non, C]
-        mu = np.round(mean[..., p * cch : (p + 1) * cch][nmask]).astype(np.int64) % levels
+        mu = mu_full[..., p * cch : (p + 1) * cch][nmask]
         wsym = ((s - mu + levels // 2) % levels).astype(np.uint8)
-        idx = np.minimum(
-            np.searchsorted(
-                scale_table, scale[..., p * cch : (p + 1) * cch][nmask], side="left"
-            ),
-            len(scale_table) - 1,
-        ).astype(np.int32)
+        idx = idx_full[..., p * cch : (p + 1) * cch][nmask]
         streams.append(rans.stream_encode_indexed(wsym, idx, scale_cdfs, precision, engine))
     return streams
 
@@ -173,9 +193,11 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
                       lat_hw: tuple[int, int], cdf_y, cdf_c,
                       precision: int,
                       plane_tables: list | None = None,
-                      engine: str = rans.DEFAULT_ENGINE) -> np.ndarray:
+                      engine: str = rans.DEFAULT_ENGINE,
+                      det: bool = False) -> np.ndarray:
     """Inverse of :func:`encode_latent_ctx` -> [h,w,3C] uint8 symbols.
-    Pass 1 decodes all anchors; one jitted context-net call then gives every
+    Pass 1 decodes all anchors; one context-net call (jitted float, or the
+    deterministic fixed-point twin when ``det``) then gives every
     non-anchor's conditional parameters for pass 2 (no sequential scan)."""
     levels = codec.levels
     cch = cdf_y.shape[0]
@@ -189,18 +211,11 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
         plane = np.zeros((h, w, cch), np.uint8)
         plane[amask] = flat.reshape(n_anchor, cch)
         sym[..., p * cch : (p + 1) * cch] = plane
-    scale_table, scale_cdfs = _codec_scale_tables(codec)
-    mean, scale = _ctx_fn(codec)(params, sym[None])
-    mean = np.asarray(mean)
-    scale = np.asarray(scale, np.float32)
+    _, scale_cdfs = _codec_scale_tables(codec)
+    mu_full, idx_full = _ctx_mu_idx(codec, params, sym, det)
     for p in range(3):
-        mu = np.round(mean[..., p * cch : (p + 1) * cch][nmask]).astype(np.int64) % levels
-        idx = np.minimum(
-            np.searchsorted(
-                scale_table, scale[..., p * cch : (p + 1) * cch][nmask], side="left"
-            ),
-            len(scale_table) - 1,
-        ).astype(np.int32)
+        mu = mu_full[..., p * cch : (p + 1) * cch][nmask]
+        idx = idx_full[..., p * cch : (p + 1) * cch][nmask]
         wsym = rans.stream_decode_indexed(streams[2 * p + 1], idx, scale_cdfs, precision, engine)
         s = (wsym.reshape(mu.shape).astype(np.int64) - levels // 2 + mu) % levels
         plane = sym[..., p * cch : (p + 1) * cch]
@@ -256,9 +271,24 @@ def _hyper_fns(codec):
     return cached
 
 
+def _hyper_mu_idx(codec, params, z_sym: np.ndarray, lat_hw: tuple[int, int],
+                  det: bool):
+    """Full-grid (mu, idx) from DECODED hyper symbols — shared by encode and
+    decode so both sides condition on identical values. ``det`` selects the
+    fixed-point integer hyper-decoder (coding/detnet.py)."""
+    if det:
+        from neural_network_image_compression_tpu.coding import detnet
+
+        return detnet.det_hyper_conditional(codec, params, z_sym, lat_hw)
+    _, cond_fn = _hyper_fns(codec)
+    mean, scale = cond_fn(params, z_sym[None], lat_hw[0], lat_hw[1])
+    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+
+
 def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
                         precision: int,
-                        engine: str = rans.DEFAULT_ENGINE) -> list[bytes]:
+                        engine: str = rans.DEFAULT_ENGINE,
+                        det: bool = False) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, the hyper-latent stream
     (factorized hyper CDFs) then the main stream (dense mean-shifted
     residuals through the scale-indexed Gaussian rANS coder)."""
@@ -267,29 +297,23 @@ def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
     cch = codec.latent_channels
     zc = codec.cfg.entropy.hyper_channels
     h, w = sym.shape[:2]
-    enc_fn, cond_fn = _hyper_fns(codec)
+    enc_fn, _ = _hyper_fns(codec)
     z_sym = np.asarray(enc_fn(params, sym[None]))[0]
-    mean, scale = cond_fn(params, z_sym[None], h, w)
-    mean = np.asarray(mean)
-    scale = np.asarray(scale, np.float32)
-    scale_table, scale_cdfs = _codec_scale_tables(codec)
+    mu_full, idx_full = _hyper_mu_idx(codec, params, z_sym, (h, w), det)
+    _, scale_cdfs = _codec_scale_tables(codec)
     streams: list[bytes] = []
     for p in range(3):
         ztab = cdf_zy if p == 0 else cdf_zc
         zplane = np.ascontiguousarray(z_sym[..., p * zc : (p + 1) * zc])
         streams.append(rans.stream_encode(zplane, ztab, precision, engine))
         yplane = sym[..., p * cch : (p + 1) * cch].astype(np.int64)
-        mu = np.round(mean[..., p * cch : (p + 1) * cch]).astype(np.int64) % levels
+        mu = mu_full[..., p * cch : (p + 1) * cch]
         wsym = ((yplane - mu + levels // 2) % levels).astype(np.uint8)
-        idx = np.minimum(
-            np.searchsorted(
-                scale_table, scale[..., p * cch : (p + 1) * cch], side="left"
-            ),
-            len(scale_table) - 1,
-        ).astype(np.int32)
+        idx = idx_full[..., p * cch : (p + 1) * cch]
         streams.append(
             rans.stream_encode_indexed(
-                wsym.reshape(-1, cch), idx.reshape(-1, cch), scale_cdfs,
+                wsym.reshape(-1, cch),
+                np.ascontiguousarray(idx).reshape(-1, cch), scale_cdfs,
                 precision, engine,
             )
         )
@@ -299,7 +323,8 @@ def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
 def decode_latent_hyper(codec, params, streams: list[bytes],
                         lat_hw: tuple[int, int], tables,
                         precision: int,
-                        engine: str = rans.DEFAULT_ENGINE) -> np.ndarray:
+                        engine: str = rans.DEFAULT_ENGINE,
+                        det: bool = False) -> np.ndarray:
     """Inverse of :func:`encode_latent_hyper`: decode each plane's hyper
     latent, run the hyper-decoder once (jitted, full grid), then decode the
     dense conditional main stream."""
@@ -318,22 +343,15 @@ def decode_latent_hyper(codec, params, streams: list[bytes],
         ztab = cdf_zy if p == 0 else cdf_zc
         flat = rans.stream_decode(streams[2 * p], zh * zw * zc, ztab, precision, engine)
         z_sym[..., p * zc : (p + 1) * zc] = flat.reshape(zh, zw, zc)
-    _, cond_fn = _hyper_fns(codec)
-    mean, scale = cond_fn(params, z_sym[None], h, w)
-    mean = np.asarray(mean)
-    scale = np.asarray(scale, np.float32)
-    scale_table, scale_cdfs = _codec_scale_tables(codec)
+    mu_full, idx_full = _hyper_mu_idx(codec, params, z_sym, (h, w), det)
+    _, scale_cdfs = _codec_scale_tables(codec)
     sym = np.zeros((h, w, 3 * cch), np.uint8)
     for p in range(3):
-        mu = np.round(mean[..., p * cch : (p + 1) * cch]).astype(np.int64) % levels
-        idx = np.minimum(
-            np.searchsorted(
-                scale_table, scale[..., p * cch : (p + 1) * cch], side="left"
-            ),
-            len(scale_table) - 1,
-        ).astype(np.int32)
+        mu = mu_full[..., p * cch : (p + 1) * cch]
+        idx = idx_full[..., p * cch : (p + 1) * cch]
         wsym = rans.stream_decode_indexed(
-            streams[2 * p + 1], idx.reshape(-1, cch), scale_cdfs, precision,
+            streams[2 * p + 1],
+            np.ascontiguousarray(idx).reshape(-1, cch), scale_cdfs, precision,
             engine,
         )
         s = (wsym.reshape(h, w, cch).astype(np.int64) - levels // 2 + mu) % levels
@@ -393,19 +411,22 @@ def compress_symbols(codec, params, sym: np.ndarray,
     engine = getattr(codec.cfg.codec, "coder", rans.DEFAULT_ENGINE)
     ctx = codec.context_y is not None
     hyper = getattr(codec, "hyper_enc_y", None) is not None
+    det = bool(getattr(codec.cfg.codec, "deterministic", False)) and (
+        ctx or hyper
+    )
     adaptive = (
         getattr(codec.cfg.entropy, "adaptive_tables", False) and not hyper
     )
     if hyper:
         streams = encode_latent_hyper(
-            codec, params, sym, tables, precision, engine
+            codec, params, sym, tables, precision, engine, det=det
         )
     else:
         def encode_with(plane_tables):
             if ctx:
                 return encode_latent_ctx(
                     codec, params, sym, cdf_y, cdf_c, precision, plane_tables,
-                    engine,
+                    engine, det=det,
                 )
             return encode_latent(
                 sym, cdf_y, cdf_c, precision, plane_tables, engine
@@ -452,6 +473,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
             streams, kind, passes, n_planes = [png], "png", 1, 1
             hyper = False
             adaptive = False
+            det = False
     import zlib
 
     header = ContainerHeader(
@@ -469,9 +491,12 @@ def compress_symbols(codec, params, sym: np.ndarray,
         hyper=hyper,
         adaptive=adaptive,
         coder=engine if kind == "rans" else "rans32",
+        det=det,
         # Decode verifies this (ADVICE r1): the two-pass context streams
-        # recompute float conv outputs, so a cross-platform numeric drift
-        # must fail loudly instead of silently corrupting the image.
+        # recompute conv outputs at decode; on the float path a cross-
+        # platform numeric drift must fail loudly instead of silently
+        # corrupting the image (the det path makes drift impossible by
+        # construction — coding/detnet.py — and keeps the CRC as backstop).
         sym_crc=zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1,
     )
     blob = pack_container(header, streams)
@@ -537,12 +562,12 @@ def decompress_image(codec, params, data: bytes, tables=None,
     if header.hyper:
         sym = decode_latent_hyper(
             codec, params, streams, (header.lat_h, header.lat_w),
-            tables, precision, engine,
+            tables, precision, engine, det=header.det,
         )
     elif conditional == 1:
         sym = decode_latent_ctx(
             codec, params, streams, (header.lat_h, header.lat_w),
-            cdf_y, cdf_c, precision, plane_tables, engine,
+            cdf_y, cdf_c, precision, plane_tables, engine, det=header.det,
         )
     else:
         sym = decode_latent(

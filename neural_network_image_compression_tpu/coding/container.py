@@ -15,7 +15,12 @@ Layout (little-endian):
                       bit1: two-pass checkerboard-context streams;
                       bit2: hyperprior; bit3: per-image adaptive tables;
                       bit4: rans64 coder — 64-bit-state 4-way-interleaved
-                      streams, coding/rans.py encode64/decode64)
+                      streams, coding/rans.py encode64/decode64;
+                      bit5: deterministic conditional — the context/hyper
+                      mean/scale were computed with the fixed-point integer
+                      inference (coding/detnet.py), so the container decodes
+                      bit-exactly on ANY platform; clear = float inference,
+                      decodable only on the encoding platform)
     model_id        u8 length + utf-8 bytes
     colorspace      u8 length + utf-8 bytes
     levels  u16     quantizer levels
@@ -47,8 +52,9 @@ VERSION = 2
 # bit0 png, bit1 two-pass context, bit2 hyperprior,
 # bit3 per-image adaptive tables (first stream of each plane is a table),
 # bit4 rans64 coder (64-bit-state 4-way-interleaved streams; clear = the
-#      legacy 32-bit single-state byte format)
-_KNOWN_FLAGS = 0b11111
+#      legacy 32-bit single-state byte format),
+# bit5 deterministic fixed-point conditional inference (coding/detnet.py)
+_KNOWN_FLAGS = 0b111111
 
 
 @dataclass
@@ -74,6 +80,9 @@ class ContainerHeader:
                            # (interleaved; flag bit4). Compress paths set this
                            # from CodecConfig.coder; default keeps bytes of
                            # hand-built legacy containers unchanged.
+    det: bool = False   # conditional params came from the deterministic
+                        # fixed-point inference (flag bit5): the decoder must
+                        # use it too, and may run on any platform
 
 
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
@@ -104,6 +113,10 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
             flags |= 16
         elif header.coder != "rans32":
             raise ValueError(f"unknown coder {header.coder!r}")
+        if header.det:
+            if conditional != 1:
+                raise ValueError("det applies only to conditional containers")
+            flags |= 32
     parts = [
         MAGIC,
         struct.pack("<BB", VERSION, flags),
@@ -186,5 +199,6 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         adaptive=bool(flags & 8),
         sym_crc=sym_crc,
         coder="rans64" if flags & 16 else "rans32",
+        det=bool(flags & 32),
     )
     return header, streams

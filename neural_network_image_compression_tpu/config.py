@@ -166,6 +166,13 @@ class CodecConfig:
                                          # 'rans32' (legacy v1 streams).
                                          # Decode is self-describing either
                                          # way (container flag bit4).
+    deterministic: bool = False          # context/hyper conditional params via
+                                         # fixed-point integer inference
+                                         # (coding/detnet.py): containers
+                                         # decode bit-exactly on ANY platform
+                                         # at a fraction-of-a-percent rate
+                                         # cost. Decode autodetects (flag
+                                         # bit5); this picks the encode side.
 
 
 @dataclass(frozen=True)
