@@ -49,10 +49,12 @@ def encode_latent(
     """[h,w,3C] uint8 symbols -> 3 independent plane streams [Y, Cb, Cr].
 
     ``plane_tables`` (optional [t_y, t_cb, t_cr]) overrides the model tables
-    — the per-image adaptive path (coding/adaptive.py)."""
-    cch = cdf_y.shape[0]
+    — the per-image adaptive path (coding/adaptive.py); cdf_y/cdf_c may then
+    be None."""
+    tabs = plane_tables or (cdf_y, cdf_c, cdf_c)
+    cch = tabs[0].shape[0]
     streams = []
-    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(tabs):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
         streams.append(rans.stream_encode(plane, table, precision, engine))
     return streams
@@ -69,9 +71,10 @@ def decode_latent(
 ) -> np.ndarray:
     """Inverse of :func:`encode_latent` -> [h,w,3C] uint8 symbols."""
     h, w = lat_hw
-    cch = cdf_y.shape[0]
+    tabs = plane_tables or (cdf_y, cdf_c, cdf_c)
+    cch = tabs[0].shape[0]
     planes = []
-    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(tabs):
         flat = rans.stream_decode(streams[p], h * w * cch, table, precision, engine)
         planes.append(flat.reshape(h, w, cch))
     return np.concatenate(planes, axis=-1)
@@ -171,14 +174,15 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
     stream (mean-shifted residuals coded with scale-binned Gaussian rows
     through the indexed rANS coder)."""
     levels = codec.levels
-    cch = cdf_y.shape[0]
+    tabs = plane_tables or (cdf_y, cdf_c, cdf_c)
+    cch = tabs[0].shape[0]
     h, w = sym.shape[:2]
     amask = _anchor_mask(h, w)
     nmask = ~amask
     _, scale_cdfs = _codec_scale_tables(codec)
     mu_full, idx_full = _ctx_mu_idx(codec, params, sym, det)
     streams: list[bytes] = []
-    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(tabs):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
         streams.append(rans.stream_encode(plane[amask], table, precision, engine))
         s = plane[nmask].astype(np.int64)                       # [n_non, C]
@@ -200,13 +204,14 @@ def decode_latent_ctx(codec, params, streams: list[bytes],
     deterministic fixed-point twin when ``det``) then gives every
     non-anchor's conditional parameters for pass 2 (no sequential scan)."""
     levels = codec.levels
-    cch = cdf_y.shape[0]
+    tabs = plane_tables or (cdf_y, cdf_c, cdf_c)
+    cch = tabs[0].shape[0]
     h, w = lat_hw
     amask = _anchor_mask(h, w)
     nmask = ~amask
     n_anchor = int(amask.sum())
     sym = np.zeros((h, w, 3 * cch), np.uint8)
-    for p, table in enumerate(plane_tables or (cdf_y, cdf_c, cdf_c)):
+    for p, table in enumerate(tabs):
         flat = rans.stream_decode(streams[2 * p], n_anchor * cch, table, precision, engine)
         plane = np.zeros((h, w, cch), np.uint8)
         plane[amask] = flat.reshape(n_anchor, cch)
@@ -285,25 +290,37 @@ def _hyper_mu_idx(codec, params, z_sym: np.ndarray, lat_hw: tuple[int, int],
     return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
 
 
+def hyper_z_symbols(codec, params, sym: np.ndarray) -> np.ndarray:
+    """[h,w,3C] main symbols -> [zh,zw,3Zc] uint8 hyper symbols (the jitted
+    hyper-encoder pass; encode-side only — decode reads z from the stream)."""
+    enc_fn, _ = _hyper_fns(codec)
+    return np.asarray(enc_fn(params, sym[None]))[0]
+
+
 def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
                         precision: int,
                         engine: str = rans.DEFAULT_ENGINE,
-                        det: bool = False) -> list[bytes]:
+                        det: bool = False,
+                        z_plane_tables: list | None = None,
+                        z_sym: np.ndarray | None = None) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, the hyper-latent stream
-    (factorized hyper CDFs) then the main stream (dense mean-shifted
+    (factorized hyper CDFs — or per-image ``z_plane_tables``, in which case
+    ``tables`` may be None) then the main stream (dense mean-shifted
     residuals through the scale-indexed Gaussian rANS coder)."""
-    cdf_zy, cdf_zc = tables[2], tables[3]
     levels = codec.levels
     cch = codec.latent_channels
     zc = codec.cfg.entropy.hyper_channels
     h, w = sym.shape[:2]
-    enc_fn, _ = _hyper_fns(codec)
-    z_sym = np.asarray(enc_fn(params, sym[None]))[0]
+    if z_sym is None:
+        z_sym = hyper_z_symbols(codec, params, sym)
     mu_full, idx_full = _hyper_mu_idx(codec, params, z_sym, (h, w), det)
     _, scale_cdfs = _codec_scale_tables(codec)
     streams: list[bytes] = []
     for p in range(3):
-        ztab = cdf_zy if p == 0 else cdf_zc
+        if z_plane_tables is not None:
+            ztab = z_plane_tables[p]
+        else:
+            ztab = tables[2] if p == 0 else tables[3]
         zplane = np.ascontiguousarray(z_sym[..., p * zc : (p + 1) * zc])
         streams.append(rans.stream_encode(zplane, ztab, precision, engine))
         yplane = sym[..., p * cch : (p + 1) * cch].astype(np.int64)
@@ -324,15 +341,16 @@ def decode_latent_hyper(codec, params, streams: list[bytes],
                         lat_hw: tuple[int, int], tables,
                         precision: int,
                         engine: str = rans.DEFAULT_ENGINE,
-                        det: bool = False) -> np.ndarray:
+                        det: bool = False,
+                        z_plane_tables: list | None = None) -> np.ndarray:
     """Inverse of :func:`encode_latent_hyper`: decode each plane's hyper
     latent, run the hyper-decoder once (jitted, full grid), then decode the
-    dense conditional main stream."""
+    dense conditional main stream. With ``z_plane_tables`` (embedded
+    per-image tables), ``tables`` may be None."""
     from neural_network_image_compression_tpu.models.hyperprior import (
         hyper_grid_hw,
     )
 
-    cdf_zy, cdf_zc = tables[2], tables[3]
     levels = codec.levels
     cch = codec.latent_channels
     zc = codec.cfg.entropy.hyper_channels
@@ -340,7 +358,10 @@ def decode_latent_hyper(codec, params, streams: list[bytes],
     zh, zw = hyper_grid_hw((h, w))
     z_sym = np.zeros((zh, zw, 3 * zc), np.uint8)
     for p in range(3):
-        ztab = cdf_zy if p == 0 else cdf_zc
+        if z_plane_tables is not None:
+            ztab = z_plane_tables[p]
+        else:
+            ztab = tables[2] if p == 0 else tables[3]
         flat = rans.stream_decode(streams[2 * p], zh * zw * zc, ztab, precision, engine)
         z_sym[..., p * zc : (p + 1) * zc] = flat.reshape(zh, zw, zc)
     mu_full, idx_full = _hyper_mu_idx(codec, params, z_sym, (h, w), det)
@@ -404,24 +425,73 @@ def compress_symbols(codec, params, sym: np.ndarray,
     The split from :func:`compress_image` lets batched drivers run ONE jitted
     analysis pass over a whole batch of images, then fan the per-image host
     entropy coding out over threads (the C++ rANS coder releases the GIL)."""
-    if tables is None:
-        tables = build_tables(codec, params)
-    cdf_y, cdf_c = tables[0], tables[1]
+    from neural_network_image_compression_tpu.coding.adaptive import (
+        plane_histogram_cdf,
+        serialize_cdf,
+    )
+
     precision = codec.cfg.entropy.cdf_precision
     engine = getattr(codec.cfg.codec, "coder", rans.DEFAULT_ENGINE)
     ctx = codec.context_y is not None
     hyper = getattr(codec, "hyper_enc_y", None) is not None
-    det = bool(getattr(codec.cfg.codec, "deterministic", False)) and (
-        ctx or hyper
-    )
-    adaptive = (
-        getattr(codec.cfg.entropy, "adaptive_tables", False) and not hyper
-    )
+    det_cfg = bool(getattr(codec.cfg.codec, "deterministic", False))
+    det = det_cfg and (ctx or hyper)
+    # Deterministic containers must be self-describing for EVERY stream that
+    # would otherwise be coded with model tables: the factorized CDFs come
+    # from a JAX float evaluation (codec.pmf_tables) whose last-ulp results
+    # differ across XLA backends, so a decoder on another platform could
+    # rebuild different quantized tables and desync the rANS state (ADVICE
+    # r2). force_embed therefore transmits exact per-image histogram tables
+    # (pure-numpy, platform-independent) unconditionally — no encoder-side
+    # size decision; portability is the point (and the tables usually win on
+    # rate anyway, RESULTS.md §1).
+    force_embed = det_cfg
+    adaptive_cfg = bool(getattr(codec.cfg.entropy, "adaptive_tables", False))
+    adaptive = False
+
+    def interleave(table_blobs, data):
+        per = len(data) // 3
+        out = []
+        for p in range(3):
+            out.append(table_blobs[p])
+            out.extend(data[per * p : per * (p + 1)])
+        return out
+
     if hyper:
-        streams = encode_latent_hyper(
-            codec, params, sym, tables, precision, engine, det=det
-        )
+        z_sym = hyper_z_symbols(codec, params, sym)
+        candidate = None
+        if force_embed or adaptive_cfg:
+            zc = codec.cfg.entropy.hyper_channels
+            z_tabs = [
+                plane_histogram_cdf(
+                    z_sym[..., p * zc : (p + 1) * zc], codec.levels, precision
+                )
+                for p in range(3)
+            ]
+            z_blobs = [serialize_cdf(t, precision) for t in z_tabs]
+            emb = encode_latent_hyper(
+                codec, params, sym, None, precision, engine, det=det,
+                z_plane_tables=z_tabs, z_sym=z_sym,
+            )
+            candidate = interleave(z_blobs, emb)
+        if force_embed:
+            streams, adaptive = candidate, True
+        else:
+            if tables is None:
+                tables = build_tables(codec, params)
+            streams = encode_latent_hyper(
+                codec, params, sym, tables, precision, engine, det=det,
+                z_sym=z_sym,
+            )
+            if candidate is not None and (
+                sum(map(len, candidate)) + 4 * 3 < sum(map(len, streams))
+            ):
+                streams, adaptive = candidate, True
     else:
+        if tables is None and not force_embed:
+            tables = build_tables(codec, params)
+        cdf_y, cdf_c = (tables[0], tables[1]) if tables is not None else (None, None)
+
         def encode_with(plane_tables):
             if ctx:
                 return encode_latent_ctx(
@@ -432,17 +502,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
                 sym, cdf_y, cdf_c, precision, plane_tables, engine
             )
 
-        streams = encode_with(None)
-        if adaptive:
-            # Encoder-side decision (like the 'auto' PNG choice): per-image
-            # tables win on statistics mismatch but cost ~10 B/channel of
-            # table — emit them only when the total shrinks. Decode is
-            # self-describing via flag bit3 either way.
-            from neural_network_image_compression_tpu.coding.adaptive import (
-                plane_histogram_cdf,
-                serialize_cdf,
-            )
-
+        def embedded_candidate():
             cch = codec.latent_channels
             amask = _anchor_mask(*sym.shape[:2]) if ctx else None
             plane_tables = [
@@ -452,17 +512,21 @@ def compress_symbols(codec, params, sym: np.ndarray,
                 )
                 for p in range(3)
             ]
-            table_blobs = [serialize_cdf(t, precision) for t in plane_tables]
-            data = encode_with(plane_tables)
-            per = len(data) // 3
-            candidate = []
-            for p in range(3):
-                candidate.append(table_blobs[p])
-                candidate.extend(data[per * p : per * (p + 1)])
-            if sum(map(len, candidate)) + 4 * 3 < sum(map(len, streams)):
-                streams = candidate
-            else:
-                adaptive = False
+            blobs = [serialize_cdf(t, precision) for t in plane_tables]
+            return interleave(blobs, encode_with(plane_tables))
+
+        if force_embed:
+            streams, adaptive = embedded_candidate(), True
+        else:
+            streams = encode_with(None)
+            if adaptive_cfg:
+                # Encoder-side decision (like the 'auto' PNG choice):
+                # per-image tables win on statistics mismatch but cost
+                # ~10 B/channel — emit them only when the total shrinks.
+                # Decode is self-describing via flag bit3 either way.
+                candidate = embedded_candidate()
+                if sum(map(len, candidate)) + 4 * 3 < sum(map(len, streams)):
+                    streams, adaptive = candidate, True
     if mode is None:
         mode = codec.cfg.codec.bitstream
     passes = 1 + (1 if (ctx or hyper) else 0) + (1 if adaptive else 0)
@@ -532,37 +596,49 @@ def decompress_image(codec, params, data: bytes, tables=None,
         )
         return np.asarray(rgb)[0]
     # Model tables are only needed when some stream is coded with them:
-    # adaptive containers (without a hyper z stream) are self-describing.
-    needs_model_tables = header.hyper or not header.adaptive
+    # adaptive containers are self-describing (embedded per-image tables for
+    # the anchor streams — or, under a hyperprior, for the z streams), which
+    # is also what makes det containers decodable on any platform without a
+    # JAX table evaluation.
+    needs_model_tables = not header.adaptive
     if tables is None and needs_model_tables:
         tables = build_tables(codec, params)
     cdf_y, cdf_c = (tables[0], tables[1]) if tables is not None else (None, None)
     precision = codec.cfg.entropy.cdf_precision
     plane_tables = None
+    z_plane_tables = None
     if header.adaptive:
         from neural_network_image_compression_tpu.coding.adaptive import (
             deserialize_cdf,
         )
 
         per = header.passes
-        plane_tables = [
+        table_ch = (
+            codec.cfg.entropy.hyper_channels if header.hyper
+            else header.latent_channels
+        )
+        parsed = [
             deserialize_cdf(
-                streams[p * per], header.latent_channels, header.levels,
-                precision,
+                streams[p * per], table_ch, header.levels, precision,
             )
             for p in range(3)
         ]
         streams = [s for i, s in enumerate(streams) if i % per != 0]
-        if cdf_y is None:
-            # shape-compatible placeholders: the decode paths below read
-            # only .shape[0] from these when plane_tables override them
-            cdf_y = cdf_c = plane_tables[0]
+        if header.hyper:
+            z_plane_tables = parsed
+        else:
+            plane_tables = parsed
+            if cdf_y is None:
+                # shape-compatible placeholders: the decode paths below read
+                # only .shape[0] from these when plane_tables override them
+                cdf_y = cdf_c = plane_tables[0]
     conditional = header.passes - 1 - (1 if header.adaptive else 0)
     engine = header.coder
     if header.hyper:
         sym = decode_latent_hyper(
             codec, params, streams, (header.lat_h, header.lat_w),
             tables, precision, engine, det=header.det,
+            z_plane_tables=z_plane_tables,
         )
     elif conditional == 1:
         sym = decode_latent_ctx(

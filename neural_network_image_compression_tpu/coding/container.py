@@ -13,14 +13,20 @@ Layout (little-endian):
     version u8
     flags   u8       (bit0: bitstream kind, 0=rans 1=png-parity;
                       bit1: two-pass checkerboard-context streams;
-                      bit2: hyperprior; bit3: per-image adaptive tables;
+                      bit2: hyperprior; bit3: per-image adaptive tables —
+                      the first stream of each plane is an embedded CDF
+                      table (coding/adaptive.py wire format) for the plane's
+                      factorized-coded symbols: the anchor/latent stream, or
+                      the hyper z stream when bit2 is also set;
                       bit4: rans64 coder — 64-bit-state 4-way-interleaved
                       streams, coding/rans.py encode64/decode64;
                       bit5: deterministic conditional — the context/hyper
                       mean/scale were computed with the fixed-point integer
-                      inference (coding/detnet.py), so the container decodes
-                      bit-exactly on ANY platform; clear = float inference,
-                      decodable only on the encoding platform)
+                      inference (coding/detnet.py); writers always pair it
+                      with bit3 so no stream depends on JAX-evaluated model
+                      tables, making the container decode bit-exactly on ANY
+                      platform; clear = float inference, decodable only on
+                      the encoding platform)
     model_id        u8 length + utf-8 bytes
     colorspace      u8 length + utf-8 bytes
     levels  u16     quantizer levels

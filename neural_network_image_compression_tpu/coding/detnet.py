@@ -28,11 +28,20 @@ Determinism inventory (what each side computes, and why it matches):
   - mean rounding          floor(center + off*span/2**FA + 0.5): exact
                            (span is a power of two or 255/2 — both exact)
   - scale -> CDF bin       integer comparison against precomputed thresholds
-The ONLY float transcendentals are in the one-time scale-threshold table
-(log/expm1, float64); both sides derive it from identical code and static
-config, and a last-ulp libm difference would only matter if a fixed-point
-activation landed within ~1e-12 of a bin boundary. The container CRC remains
-as the backstop for that astronomically unlikely case.
+What still involves float transcendentals — and why that is safe:
+  - the one-time scale-threshold table (log/expm1 here) and the static
+    Gaussian scale-CDF rows (exp/erf in coding/cdf.py). Both are derived on
+    the HOST (numpy/CPython float64) from static config only — never through
+    JAX — so they are identical for a TPU-backend encoder and a CPU-backend
+    decoder on any one machine. Across machines with different libm builds a
+    last-ulp difference is theoretically possible but only matters if a
+    value lands within ~1e-12 of a bin/quantization boundary; the container
+    CRC remains as the backstop for that astronomically unlikely case.
+  - the factorized (anchor / hyper-z) CDF tables are JAX float evaluations
+    and genuinely DO drift across backends — det containers therefore never
+    use them: codec_stream.compress_symbols force-embeds exact per-image
+    histogram tables (pure numpy) for every factorized-coded stream, so
+    decode rebuilds nothing through JAX (ADVICE r2 fix).
 
 Rate cost: the quantized net is a (deterministically) perturbed version of
 the trained float net, so predicted means/scales shift by ~2**-FA and the

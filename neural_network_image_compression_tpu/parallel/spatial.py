@@ -218,7 +218,13 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
     tile_w = sym.shape[1] // n_sp
     precision = codec.cfg.entropy.cdf_precision
     engine = getattr(codec.cfg.codec, "coder", "rans64")
-    adaptive = getattr(codec.cfg.entropy, "adaptive_tables", False)
+    # deterministic => always embed per-tile tables: the model tables are a
+    # JAX float evaluation and differ across XLA backends (codec_stream.py
+    # force_embed rationale); embedded numpy histogram tables make the tiled
+    # container decodable on any platform.
+    adaptive = getattr(codec.cfg.entropy, "adaptive_tables", False) or bool(
+        getattr(codec.cfg.codec, "deterministic", False)
+    )
     per = 2 if adaptive else 1
     cch = codec.latent_channels
     streams = []

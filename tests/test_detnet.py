@@ -142,14 +142,33 @@ class TestDetContext:
         rng = np.random.default_rng(5)
         rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
         sym = np.asarray(codec.encode(params, rgb[None]))[0]
-        tables = build_tables(det_codec, params)
-        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2], tables,
+        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2],
                                 mode="rans")
         header, _ = unpack_container(blob)
-        assert header.det and header.passes >= 2
+        assert header.det and header.adaptive and header.passes == 3
         # decode through the public path (reads det from the container)
-        rec = decompress_image(det_codec, params, blob, tables)
+        rec = decompress_image(det_codec, params, blob)
         assert rec.shape == rgb.shape  # CRC inside decompress proves symbols
+
+    def test_det_never_evaluates_model_tables(self, ctx_codec):
+        # The actual cross-platform guarantee (ADVICE r2): no stream in a det
+        # container may depend on codec.pmf_tables — a JAX float evaluation
+        # whose results differ across XLA backends. Poison it on both sides.
+        codec, params = ctx_codec
+        det_codec = NeuralCodec(_det_cfg(codec))
+
+        def boom(*a, **k):
+            raise AssertionError("JAX model-table evaluation in det path")
+
+        det_codec.pmf_tables = boom
+        det_codec.hyper_pmf_tables = boom
+        rng = np.random.default_rng(15)
+        rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+        sym = np.asarray(codec.encode(params, rgb[None]))[0]
+        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2],
+                                mode="rans")
+        rec = decompress_image(det_codec, params, blob)
+        assert rec.shape == rgb.shape
 
     def test_rate_cost_small(self, ctx_codec):
         codec, params = ctx_codec
@@ -183,17 +202,67 @@ class TestDetHyper:
         rng = np.random.default_rng(9)
         rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
         sym = np.asarray(codec.encode(params, rgb[None]))[0]
-        tables = build_tables(det_codec, params)
-        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2], tables,
+        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2],
                                 mode="rans")
         header, _ = unpack_container(blob)
         assert header.det and header.hyper
-        rec = decompress_image(det_codec, params, blob, tables)
+        # det hyper containers embed the z tables (adaptive+hyper): the z
+        # streams must not depend on the JAX-evaluated hyper factorized CDFs
+        assert header.adaptive and header.passes == 3
+        rec = decompress_image(det_codec, params, blob)
+        assert rec.shape == rgb.shape
+
+    def test_det_never_evaluates_model_tables(self, hyper_codec):
+        codec, params = hyper_codec
+        det_codec = NeuralCodec(_det_cfg(codec))
+
+        def boom(*a, **k):
+            raise AssertionError("JAX model-table evaluation in det path")
+
+        det_codec.pmf_tables = boom
+        det_codec.hyper_pmf_tables = boom
+        rng = np.random.default_rng(16)
+        rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+        sym = np.asarray(codec.encode(params, rgb[None]))[0]
+        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2],
+                                mode="rans")
+        rec = decompress_image(det_codec, params, blob)
+        assert rec.shape == rgb.shape
+
+    def test_hyper_adaptive_decision_roundtrip(self, hyper_codec):
+        # Non-det hyperprior with adaptive_tables: the encoder embeds z
+        # tables only when that shrinks the container; decode must handle
+        # whichever branch was taken.
+        codec, params = hyper_codec
+        cfg = dataclasses.replace(
+            codec.cfg,
+            entropy=dataclasses.replace(codec.cfg.entropy, adaptive_tables=True),
+        )
+        acodec = NeuralCodec(cfg)
+        rng = np.random.default_rng(17)
+        rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+        sym = np.asarray(codec.encode(params, rgb[None]))[0]
+        blob = compress_symbols(acodec, params, sym, rgb.shape[:2], mode="rans")
+        rec = decompress_image(acodec, params, blob)
         assert rec.shape == rgb.shape
 
 
 class TestContainerFlag:
-    def test_det_flag_rejected_by_old_known_flags(self):
+    def test_det_flag_rejected_by_old_reader(self, ctx_codec, monkeypatch):
         # A det container must not be parseable by a reader that doesn't know
-        # bit5 — simulated by checking the bit is outside the r1 flag set.
-        assert 32 & 0b11111 == 0
+        # bit5: build a real det container, shrink the reader's known-flag
+        # set to the pre-bit5 value, and require a loud refusal.
+        from neural_network_image_compression_tpu.coding import container
+
+        codec, params = ctx_codec
+        det_codec = NeuralCodec(_det_cfg(codec))
+        rng = np.random.default_rng(18)
+        rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        sym = np.asarray(codec.encode(params, rgb[None]))[0]
+        blob = compress_symbols(det_codec, params, sym, rgb.shape[:2],
+                                mode="rans")
+        header, _ = unpack_container(blob)
+        assert header.det  # precondition: bit5 actually set in the blob
+        monkeypatch.setattr(container, "_KNOWN_FLAGS", 0b11111)
+        with pytest.raises(ValueError, match="unknown flag"):
+            container.unpack_container(blob)
