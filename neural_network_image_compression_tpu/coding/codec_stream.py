@@ -380,6 +380,200 @@ def decode_latent_hyper(codec, params, streams: list[bytes],
     return sym
 
 
+# ------------------------------------- joint (hyperprior + checkerboard) path
+
+
+def _joint_fns(codec):
+    """Jitted joint-mode coding callables, cached on the codec:
+    hyper_part(params, z_sym[1,zh,zw,3Zc], h, w) -> (mean_h, scale_h,
+    raw [h,w,3*2C]) — the anchor conditional and the raw hyper features;
+    ctx_part(params, sym[1,h,w,3C], raw) -> (mean_j, scale_j) — the
+    non-anchor conditional from [masked anchors ++ raw]. Both stages run on
+    DECODED inputs so encoder and decoder agree exactly (same-platform float
+    determinism; codec.deterministic swaps in the fixed-point twins)."""
+    cached = getattr(codec, "_joint_coding_fns", None)
+    if cached is None:
+        import jax
+        import jax.numpy as jnp
+
+        from neural_network_image_compression_tpu.models.hyperprior import (
+            head_geometry,
+        )
+
+        cch = codec.latent_channels
+        zc = codec.cfg.entropy.hyper_channels
+        off = codec.levels // 2
+        e = codec.cfg.entropy
+
+        def hyper_part(params, z_sym, h, w):
+            zf = z_sym.astype(jnp.float32) - off
+            raw_y = codec.hyper_raw(params, "y", zf[..., :zc], (h, w))
+            zcc = jnp.concatenate(
+                [zf[..., zc : 2 * zc], zf[..., 2 * zc :]], axis=0
+            )
+            raw_c = codec.hyper_raw(params, "c", zcc, (h, w))
+            geom = lambda r: head_geometry(
+                r, codec.levels, codec._ctx_mean_span, codec._ctx_scale_init,
+                e.scale_min, e.scale_max,
+            )
+            m_y, s_y = geom(raw_y)
+            m_c, s_c = geom(raw_c)
+            mean = jnp.concatenate([m_y, m_c[:1], m_c[1:]], axis=3)
+            scale = jnp.concatenate([s_y, s_c[:1], s_c[1:]], axis=3)
+            raw = jnp.concatenate([raw_y, raw_c[:1], raw_c[1:]], axis=3)
+            return mean[0], scale[0], raw[0]
+
+        def ctx_part(params, sym, raw):
+            z = sym.astype(jnp.float32)
+            r2 = 2 * cch
+            cin_y = jnp.concatenate(
+                [codec._context_input(z[..., :cch]), raw[None, ..., :r2]],
+                axis=-1,
+            )
+            m_y, s_y = codec.context_y.apply({"params": params["context_y"]}, cin_y)
+            zcc = jnp.concatenate(
+                [z[..., cch : 2 * cch], z[..., 2 * cch :]], axis=0
+            )
+            raw_c = jnp.concatenate(
+                [raw[None, ..., r2 : 2 * r2], raw[None, ..., 2 * r2 :]], axis=0
+            )
+            cin_c = jnp.concatenate(
+                [codec._context_input(zcc), raw_c], axis=-1
+            )
+            m_c, s_c = codec.context_c.apply({"params": params["context_c"]}, cin_c)
+            mean = jnp.concatenate([m_y, m_c[:1], m_c[1:]], axis=3)
+            scale = jnp.concatenate([s_y, s_c[:1], s_c[1:]], axis=3)
+            return mean[0], scale[0]
+
+        cached = (
+            jax.jit(hyper_part, static_argnums=(2, 3)),
+            jax.jit(ctx_part),
+        )
+        codec._joint_coding_fns = cached
+    return cached
+
+
+def _joint_stage1(codec, params, z_sym: np.ndarray, lat_hw: tuple[int, int],
+                  det: bool):
+    """DECODED hyper symbols -> (mu_h, idx_h, raw) full-grid."""
+    if det:
+        from neural_network_image_compression_tpu.coding import detnet
+
+        return detnet.det_joint_hyper(codec, params, z_sym, lat_hw)
+    hyper_part, _ = _joint_fns(codec)
+    mean, scale, raw = hyper_part(params, z_sym[None], lat_hw[0], lat_hw[1])
+    mu, idx = _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+    return mu, idx, np.asarray(raw)
+
+
+def _joint_stage2(codec, params, sym: np.ndarray, raw, det: bool):
+    """Full-grid symbols (anchors valid) + stage-1 raw -> (mu_j, idx_j)."""
+    if det:
+        from neural_network_image_compression_tpu.coding import detnet
+
+        return detnet.det_joint_ctx(codec, params, sym, raw)
+    _, ctx_part = _joint_fns(codec)
+    mean, scale = ctx_part(params, sym[None], raw)
+    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+
+
+def encode_latent_joint(codec, params, sym: np.ndarray, tables,
+                        precision: int,
+                        engine: str = rans.DEFAULT_ENGINE,
+                        det: bool = False,
+                        z_plane_tables: list | None = None,
+                        z_sym: np.ndarray | None = None) -> list[bytes]:
+    """[h,w,3C] symbols -> 9 streams: per plane, the hyper-latent stream
+    (factorized hyper CDFs or per-image ``z_plane_tables``), the ANCHOR
+    stream (mean-shifted residuals under the hyper Gaussian — the
+    checkerboard mode's static factorized tables replaced by a per-position
+    conditional), then the NON-ANCHOR stream (residuals under the joint
+    context Gaussian)."""
+    levels = codec.levels
+    cch = codec.latent_channels
+    zc = codec.cfg.entropy.hyper_channels
+    h, w = sym.shape[:2]
+    if z_sym is None:
+        z_sym = hyper_z_symbols(codec, params, sym)
+    mu_h, idx_h, raw = _joint_stage1(codec, params, z_sym, (h, w), det)
+    mu_j, idx_j = _joint_stage2(codec, params, sym, raw, det)
+    amask = _anchor_mask(h, w)
+    nmask = ~amask
+    _, scale_cdfs = _codec_scale_tables(codec)
+    streams: list[bytes] = []
+    for p in range(3):
+        if z_plane_tables is not None:
+            ztab = z_plane_tables[p]
+        else:
+            ztab = tables[2] if p == 0 else tables[3]
+        zplane = np.ascontiguousarray(z_sym[..., p * zc : (p + 1) * zc])
+        streams.append(rans.stream_encode(zplane, ztab, precision, engine))
+        plane = sym[..., p * cch : (p + 1) * cch].astype(np.int64)
+        for mu_full, idx_full, mask in (
+            (mu_h, idx_h, amask), (mu_j, idx_j, nmask),
+        ):
+            s = plane[mask]
+            mu = mu_full[..., p * cch : (p + 1) * cch][mask]
+            wsym = ((s - mu + levels // 2) % levels).astype(np.uint8)
+            idx = idx_full[..., p * cch : (p + 1) * cch][mask]
+            streams.append(
+                rans.stream_encode_indexed(wsym, idx, scale_cdfs, precision, engine)
+            )
+    return streams
+
+
+def decode_latent_joint(codec, params, streams: list[bytes],
+                        lat_hw: tuple[int, int], tables,
+                        precision: int,
+                        engine: str = rans.DEFAULT_ENGINE,
+                        det: bool = False,
+                        z_plane_tables: list | None = None) -> np.ndarray:
+    """Inverse of :func:`encode_latent_joint` -> [h,w,3C] uint8 symbols.
+    Three full-grid passes, no autoregressive scan: decode z, run the hyper
+    stage (anchor conditionals + raw features), decode all anchors, run the
+    context stage once, decode all non-anchors."""
+    from neural_network_image_compression_tpu.models.hyperprior import (
+        hyper_grid_hw,
+    )
+
+    levels = codec.levels
+    cch = codec.latent_channels
+    zc = codec.cfg.entropy.hyper_channels
+    h, w = lat_hw
+    zh, zw = hyper_grid_hw((h, w))
+    z_sym = np.zeros((zh, zw, 3 * zc), np.uint8)
+    for p in range(3):
+        if z_plane_tables is not None:
+            ztab = z_plane_tables[p]
+        else:
+            ztab = tables[2] if p == 0 else tables[3]
+        flat = rans.stream_decode(streams[3 * p], zh * zw * zc, ztab, precision, engine)
+        z_sym[..., p * zc : (p + 1) * zc] = flat.reshape(zh, zw, zc)
+    mu_h, idx_h, raw = _joint_stage1(codec, params, z_sym, (h, w), det)
+    amask = _anchor_mask(h, w)
+    nmask = ~amask
+    _, scale_cdfs = _codec_scale_tables(codec)
+    sym = np.zeros((h, w, 3 * cch), np.uint8)
+    for p in range(3):
+        mu = mu_h[..., p * cch : (p + 1) * cch][amask]
+        idx = idx_h[..., p * cch : (p + 1) * cch][amask]
+        wsym = rans.stream_decode_indexed(streams[3 * p + 1], idx, scale_cdfs, precision, engine)
+        s = (wsym.reshape(mu.shape).astype(np.int64) - levels // 2 + mu) % levels
+        plane = sym[..., p * cch : (p + 1) * cch]
+        plane[amask] = s.astype(np.uint8)
+        sym[..., p * cch : (p + 1) * cch] = plane
+    mu_j, idx_j = _joint_stage2(codec, params, sym, raw, det)
+    for p in range(3):
+        mu = mu_j[..., p * cch : (p + 1) * cch][nmask]
+        idx = idx_j[..., p * cch : (p + 1) * cch][nmask]
+        wsym = rans.stream_decode_indexed(streams[3 * p + 2], idx, scale_cdfs, precision, engine)
+        s = (wsym.reshape(mu.shape).astype(np.int64) - levels // 2 + mu) % levels
+        plane = sym[..., p * cch : (p + 1) * cch]
+        plane[nmask] = s.astype(np.uint8)
+        sym[..., p * cch : (p + 1) * cch] = plane
+    return sym
+
+
 def _png_stream(sym: np.ndarray) -> bytes:
     """Optimized-PNG bytes of the packed 3-plane latent — the reference's
     exact bitstream (reference tf2_0/src/utils.py:38-43), embedded as a
@@ -432,10 +626,14 @@ def compress_symbols(codec, params, sym: np.ndarray,
 
     precision = codec.cfg.entropy.cdf_precision
     engine = getattr(codec.cfg.codec, "coder", rans.DEFAULT_ENGINE)
-    ctx = codec.context_y is not None
-    hyper = getattr(codec, "hyper_enc_y", None) is not None
+    joint = (
+        codec.cfg.entropy.context == "joint"
+        and getattr(codec, "hyper_enc_y", None) is not None
+    )
+    ctx = codec.context_y is not None and not joint
+    hyper = getattr(codec, "hyper_enc_y", None) is not None and not joint
     det_cfg = bool(getattr(codec.cfg.codec, "deterministic", False))
-    det = det_cfg and (ctx or hyper)
+    det = det_cfg and (ctx or hyper or joint)
     # Deterministic containers must be self-describing for EVERY stream that
     # would otherwise be coded with model tables: the factorized CDFs come
     # from a JAX float evaluation (codec.pmf_tables) whose last-ulp results
@@ -457,7 +655,8 @@ def compress_symbols(codec, params, sym: np.ndarray,
             out.extend(data[per * p : per * (p + 1)])
         return out
 
-    if hyper:
+    if hyper or joint:
+        encode_fn = encode_latent_joint if joint else encode_latent_hyper
         z_sym = hyper_z_symbols(codec, params, sym)
         candidate = None
         if force_embed or adaptive_cfg:
@@ -469,7 +668,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
                 for p in range(3)
             ]
             z_blobs = [serialize_cdf(t, precision) for t in z_tabs]
-            emb = encode_latent_hyper(
+            emb = encode_fn(
                 codec, params, sym, None, precision, engine, det=det,
                 z_plane_tables=z_tabs, z_sym=z_sym,
             )
@@ -479,7 +678,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
         else:
             if tables is None:
                 tables = build_tables(codec, params)
-            streams = encode_latent_hyper(
+            streams = encode_fn(
                 codec, params, sym, tables, precision, engine, det=det,
                 z_sym=z_sym,
             )
@@ -529,13 +728,17 @@ def compress_symbols(codec, params, sym: np.ndarray,
                     streams, adaptive = candidate, True
     if mode is None:
         mode = codec.cfg.codec.bitstream
-    passes = 1 + (1 if (ctx or hyper) else 0) + (1 if adaptive else 0)
+    if joint:
+        passes = 3 + (1 if adaptive else 0)
+    else:
+        passes = 1 + (1 if (ctx or hyper) else 0) + (1 if adaptive else 0)
     kind, n_planes = "rans", 3
     if mode == "auto":
         png = _png_stream(sym)
         if len(png) < sum(len(b) for b in streams):
             streams, kind, passes, n_planes = [png], "png", 1, 1
             hyper = False
+            joint = False
             adaptive = False
             det = False
     import zlib
@@ -552,7 +755,8 @@ def compress_symbols(codec, params, sym: np.ndarray,
         n_planes=n_planes,
         passes=passes,
         kind=kind,
-        hyper=hyper,
+        hyper=hyper or joint,
+        joint=joint,
         adaptive=adaptive,
         coder=engine if kind == "rans" else "rans32",
         det=det,
@@ -634,7 +838,13 @@ def decompress_image(codec, params, data: bytes, tables=None,
                 cdf_y = cdf_c = plane_tables[0]
     conditional = header.passes - 1 - (1 if header.adaptive else 0)
     engine = header.coder
-    if header.hyper:
+    if header.joint:
+        sym = decode_latent_joint(
+            codec, params, streams, (header.lat_h, header.lat_w),
+            tables, precision, engine, det=header.det,
+            z_plane_tables=z_plane_tables,
+        )
+    elif header.hyper:
         sym = decode_latent_hyper(
             codec, params, streams, (header.lat_h, header.lat_w),
             tables, precision, engine, det=header.det,

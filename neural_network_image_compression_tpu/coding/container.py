@@ -26,7 +26,12 @@ Layout (little-endian):
                       with bit3 so no stream depends on JAX-evaluated model
                       tables, making the container decode bit-exactly on ANY
                       platform; clear = float inference, decodable only on
-                      the encoding platform)
+                      the encoding platform;
+                      bit6: joint context — per plane the streams are
+                      [adaptive z table (bit3)] z-stream, anchor-stream
+                      (hyper-Gaussian residuals), non-anchor-stream (joint
+                      context residuals); bit2 is set alongside since a
+                      hyper latent is transmitted)
     model_id        u8 length + utf-8 bytes
     colorspace      u8 length + utf-8 bytes
     levels  u16     quantizer levels
@@ -60,7 +65,10 @@ VERSION = 2
 # bit4 rans64 coder (64-bit-state 4-way-interleaved streams; clear = the
 #      legacy 32-bit single-state byte format),
 # bit5 deterministic fixed-point conditional inference (coding/detnet.py)
-_KNOWN_FLAGS = 0b111111
+# bit6 joint context (hyperprior + checkerboard): per plane the streams are
+#      [adaptive z table (bit3)] z-stream, anchor-stream (hyper Gaussian),
+#      non-anchor-stream (joint Gaussian) — passes = 3 (+1 with bit3)
+_KNOWN_FLAGS = 0b1111111
 
 
 @dataclass
@@ -89,6 +97,8 @@ class ContainerHeader:
     det: bool = False   # conditional params came from the deterministic
                         # fixed-point inference (flag bit5): the decoder must
                         # use it too, and may run on any platform
+    joint: bool = False # joint context (flag bit6): z + anchor + non-anchor
+                        # streams per plane (see module docstring)
 
 
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
@@ -104,15 +114,24 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
     else:
         flags = 0
         conditional = header.passes - 1 - (1 if header.adaptive else 0)
-        if conditional not in (0, 1):
-            raise ValueError(
-                f"passes {header.passes} inconsistent with "
-                f"adaptive={header.adaptive}"
-            )
-        if header.hyper and conditional != 1:
-            raise ValueError("hyper containers need a conditional pass")
-        if conditional == 1:
-            flags |= 4 if header.hyper else 2
+        if header.joint:
+            if conditional != 2:
+                raise ValueError(
+                    "joint containers carry z + anchor + non-anchor passes"
+                )
+            if not header.hyper:
+                raise ValueError("joint containers transmit a hyper latent")
+            flags |= 64 | 4
+        else:
+            if conditional not in (0, 1):
+                raise ValueError(
+                    f"passes {header.passes} inconsistent with "
+                    f"adaptive={header.adaptive}"
+                )
+            if header.hyper and conditional != 1:
+                raise ValueError("hyper containers need a conditional pass")
+            if conditional == 1:
+                flags |= 4 if header.hyper else 2
         if header.adaptive:
             flags |= 8
         if header.coder == "rans64":
@@ -120,7 +139,7 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
         elif header.coder != "rans32":
             raise ValueError(f"unknown coder {header.coder!r}")
         if header.det:
-            if conditional != 1:
+            if conditional not in (1, 2):
                 raise ValueError("det applies only to conditional containers")
             flags |= 32
     parts = [
@@ -177,6 +196,8 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         pos += 4
     if flags & 1:
         passes = 1
+    elif flags & 64:
+        passes = 3 + (1 if flags & 8 else 0)
     else:
         passes = 1 + (1 if flags & (2 | 4) else 0) + (1 if flags & 8 else 0)
     n_streams = n_planes * n_tiles * passes
@@ -206,5 +227,6 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         sym_crc=sym_crc,
         coder="rans64" if flags & 16 else "rans32",
         det=bool(flags & 32),
+        joint=bool(flags & 64),
     )
     return header, streams

@@ -243,6 +243,68 @@ def det_context_params(codec, params,
     return mu, idx
 
 
+def det_joint_hyper(codec, params, z_sym: np.ndarray,
+                    out_hw: tuple[int, int]):
+    """Deterministic stage 1 of the joint (hyperprior + checkerboard) coding
+    path: DECODED hyper symbols -> (mu_h, idx_h) for the anchor streams plus
+    the FA fixed-point raw head features [h,w,3*2C] that stage 2's context
+    net conditions on (the det analogue of HyperDecoder.raw)."""
+    cch = codec.latent_channels
+    zc = codec.cfg.entropy.hyper_channels
+    levels = codec.levels
+    lut = _det_cache(codec, params, "hyper_lut", lambda: _hyper_lut(codec))
+    thr = _det_cache(codec, params, "thr", lambda: _scale_thresholds(codec))
+    ly = _det_cache(codec, params, "hyp_y", lambda: _hyper_layers(codec, params, "y"))
+    lc = _det_cache(codec, params, "hyp_c", lambda: _hyper_layers(codec, params, "c"))
+    x = lut[z_sym]
+    span = codec._ctx_mean_span
+    h, w = out_hw
+    mu = np.empty((h, w, 3 * cch), np.int64)
+    idx = np.empty((h, w, 3 * cch), np.int32)
+    raw = np.empty((h, w, 3 * 2 * cch), np.float64)
+    for p, layers in ((0, ly), (1, lc), (2, lc)):
+        out = _run_hyper(x[..., p * zc : (p + 1) * zc], layers, out_hw)
+        mu[..., p * cch : (p + 1) * cch] = _mean_mu(out[..., :cch], span, levels)
+        idx[..., p * cch : (p + 1) * cch] = _scale_idx(out[..., cch:], thr)
+        raw[..., p * 2 * cch : (p + 1) * 2 * cch] = out
+    return mu, idx, raw
+
+
+def det_joint_ctx(codec, params, sym: np.ndarray,
+                  raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic stage 2 of the joint coding path: full-grid symbols
+    (only anchor positions are read — masked like the float path) plus the
+    stage-1 raw hyper features -> (mu_j, idx_j) for the non-anchor streams.
+
+    The float path feeds the context net concat([masked normalized anchors,
+    raw hyper features]); here both halves are already FA fixed point (symbol
+    LUT; stage-1 conv output), so the concatenated input is exact."""
+    cch = codec.latent_channels
+    levels = codec.levels
+    h, w = sym.shape[:2]
+    lut = _det_cache(codec, params, "ctx_lut", lambda: _symbol_lut(codec))
+    thr = _det_cache(codec, params, "thr", lambda: _scale_thresholds(codec))
+    ly = _det_cache(codec, params, "ctx_y", lambda: _ctx_layers(codec, params, "y"))
+    lc = _det_cache(codec, params, "ctx_c", lambda: _ctx_layers(codec, params, "c"))
+    amask = ((np.add.outer(np.arange(h), np.arange(w)) % 2) == 0)[..., None]
+    anchors = lut[sym] * amask
+    span = codec._ctx_mean_span
+    mu = np.empty((h, w, 3 * cch), np.int64)
+    idx = np.empty((h, w, 3 * cch), np.int32)
+    for p, layers in ((0, ly), (1, lc), (2, lc)):
+        x = np.concatenate(
+            [
+                anchors[..., p * cch : (p + 1) * cch],
+                raw[..., p * 2 * cch : (p + 1) * 2 * cch],
+            ],
+            axis=-1,
+        )
+        out = _run_ctx(x, layers)
+        mu[..., p * cch : (p + 1) * cch] = _mean_mu(out[..., :cch], span, levels)
+        idx[..., p * cch : (p + 1) * cch] = _scale_idx(out[..., cch:], thr)
+    return mu, idx
+
+
 def det_hyper_conditional(codec, params, z_sym: np.ndarray,
                           out_hw: tuple[int, int]) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic twin of codec_stream._hyper_fns' cond for the coding

@@ -69,8 +69,13 @@ class EntropyConfig:
     # parallel passes, no autoregressive scan. 'hyperprior': a transmitted
     # side latent z (models/hyperprior.py) decodes into a dense per-position
     # Gaussian for EVERY main-latent element (mean-scale hyperprior,
-    # Ballé/Minnen 2018) — one pass, z costs ~1-3% of the rate.
-    context: str = "none"                # 'none' | 'checkerboard' | 'hyperprior'
+    # Ballé/Minnen 2018) — one pass, z costs ~1-3% of the rate. 'joint':
+    # hyperprior + checkerboard combined (Minnen/He-style joint context):
+    # anchors coded with the hyper Gaussian (replacing the checkerboard
+    # mode's static factorized tables), non-anchors with a context net over
+    # [decoded anchors ++ raw hyper features] — strictly more information
+    # than either model alone.
+    context: str = "none"    # 'none' | 'checkerboard' | 'hyperprior' | 'joint'
     context_hidden: int = 96             # conv width of the context/hyper nets
     hyper_channels: int = 16             # hyper latent channels (z)
     scale_bins: int = 64                 # conditional-Gaussian CDF rows

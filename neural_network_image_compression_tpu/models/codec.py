@@ -83,7 +83,7 @@ class NeuralCodec:
         self.hyper_entropy_y = self.hyper_entropy_c = None
         if (
             cfg.entropy.kind == "factorized"
-            and cfg.entropy.context == "hyperprior"
+            and cfg.entropy.context in ("hyperprior", "joint")
         ):
             from neural_network_image_compression_tpu.models.hyperprior import (
                 HyperDecoder,
@@ -115,7 +115,7 @@ class NeuralCodec:
             self.hyper_entropy_y, self.hyper_entropy_c = mk_hf(), mk_hf()
         if (
             cfg.entropy.kind == "factorized"
-            and cfg.entropy.context == "checkerboard"
+            and cfg.entropy.context in ("checkerboard", "joint")
         ):
             mk = lambda: CheckerboardContext(
                 channels=self.latent_channels,
@@ -150,8 +150,15 @@ class NeuralCodec:
             params["entropy_y"] = self.entropy_y.init(k_ey, latent)["params"]
         if self.context_y is not None:
             k_cy, k_cc = jax.random.split(jax.random.fold_in(rng, 7))
-            params["context_y"] = self.context_y.init(k_cy, latent)["params"]
-            params["context_c"] = self.context_c.init(k_cc, latent)["params"]
+            # Joint mode: the context net conditions on the masked anchors
+            # (C channels) PLUS the hyper head's raw features (2C channels).
+            ctx_in = latent
+            if self.cfg.entropy.context == "joint":
+                ctx_in = jnp.zeros(
+                    latent.shape[:3] + (3 * self.latent_channels,), jnp.float32
+                )
+            params["context_y"] = self.context_y.init(k_cy, ctx_in)["params"]
+            params["context_c"] = self.context_c.init(k_cc, ctx_in)["params"]
         if self.hyper_enc_y is not None:
             from neural_network_image_compression_tpu.models.hyperprior import (
                 hyper_grid_hw,
@@ -321,6 +328,12 @@ class NeuralCodec:
         bits_f = ent.apply({"params": params[f"entropy_{which}"]}, z_sym)
         if self.context_y is None:
             return bits_f
+        if self.cfg.entropy.context == "joint":
+            raise TypeError(
+                "plane_bits is undefined for context='joint' (every position "
+                "is conditionally coded and needs the transmitted hyper "
+                "latent); use plane_rate_bits"
+            )
         mask = checkerboard_mask(z_sym.shape[1], z_sym.shape[2], z_sym.dtype)
         mean, scale = self.context_params(params, which, z_sym)
         bits_ctx = conditional_gaussian_bits(z_sym, mean, scale)
@@ -354,6 +367,47 @@ class NeuralCodec:
             {"params": params[f"hyper_dec_{which}"]}, z_centered, out_hw
         )
 
+    def hyper_raw(self, params: Params, which: str, z_centered: jnp.ndarray,
+                  out_hw: tuple[int, int]) -> jnp.ndarray:
+        """Raw hyper-head features [M,h,w,2C] (pre mean/scale geometry) from a
+        (noisy or decoded) CENTERED hyper latent — the joint context's
+        conditioning input."""
+        from neural_network_image_compression_tpu.models.hyperprior import (
+            HyperDecoder,
+        )
+
+        dec = self.hyper_dec_y if which == "y" else self.hyper_dec_c
+        return dec.apply(
+            {"params": params[f"hyper_dec_{which}"]}, z_centered, out_hw,
+            method=HyperDecoder.raw,
+        )
+
+    def joint_conditionals(
+        self, params: Params, which: str, z_sym: jnp.ndarray,
+        raw: jnp.ndarray,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Joint-mode conditionals for one plane batch.
+
+        Returns (mean_h, scale_h, mean_j, scale_j), all [M,h,w,C] in symbol
+        units: the hyper-only Gaussian (codes the ANCHOR half — replacing the
+        checkerboard mode's static factorized tables there) and the joint
+        Gaussian from the context net over [masked anchors ++ raw hyper
+        features] (codes the non-anchor half with strictly more information
+        than either the checkerboard or the hyperprior alone).
+        """
+        from neural_network_image_compression_tpu.models.hyperprior import (
+            head_geometry,
+        )
+
+        mod = self.context_y if which == "y" else self.context_c
+        mean_h, scale_h = head_geometry(
+            raw, self.levels, self._ctx_mean_span, self._ctx_scale_init,
+            self.cfg.entropy.scale_min, self.cfg.entropy.scale_max,
+        )
+        ctx_in = jnp.concatenate([self._context_input(z_sym), raw], axis=-1)
+        mean_j, scale_j = mod.apply({"params": params[f"context_{which}"]}, ctx_in)
+        return mean_h, scale_h, mean_j, scale_j
+
     def _hyper_bits(self, params: Params, which: str, z_centered: jnp.ndarray):
         ent = self.hyper_entropy_y if which == "y" else self.hyper_entropy_c
         center = (self.levels - 1) / 2.0
@@ -372,10 +426,24 @@ class NeuralCodec:
             if key is not None:
                 z = z + jax.random.uniform(key, z.shape, minval=-0.5, maxval=0.5)
             bits_z = self._hyper_bits(params, which, z)
-            mean, scale = self.hyper_conditional(
-                params, which, z, z_sym.shape[1:3]
-            )
-            bits_y = conditional_gaussian_bits(z_sym, mean, scale)
+            if self.cfg.entropy.context == "joint":
+                raw = self.hyper_raw(params, which, z, z_sym.shape[1:3])
+                mean_h, scale_h, mean_j, scale_j = self.joint_conditionals(
+                    params, which, z_sym, raw
+                )
+                mask = checkerboard_mask(
+                    z_sym.shape[1], z_sym.shape[2], z_sym.dtype
+                )
+                bits_y = conditional_gaussian_bits(
+                    z_sym, mean_h, scale_h
+                ) * mask + conditional_gaussian_bits(
+                    z_sym, mean_j, scale_j
+                ) * (1.0 - mask)
+            else:
+                mean, scale = self.hyper_conditional(
+                    params, which, z, z_sym.shape[1:3]
+                )
+                bits_y = conditional_gaussian_bits(z_sym, mean, scale)
             return jnp.sum(bits_y, axis=(1, 2, 3)) + jnp.sum(bits_z, axis=(1, 2, 3))
         return jnp.sum(self.plane_bits(params, which, z_sym), axis=(1, 2, 3))
 

@@ -33,6 +33,34 @@ def _softplus_inv(y: float) -> float:
     return float(np.log(np.expm1(y)))
 
 
+def head_geometry(
+    raw: jnp.ndarray,
+    levels: int,
+    mean_span: float,
+    scale_init: float,
+    scale_min: float,
+    scale_max: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared (mean, scale) geometry of every conditional head.
+
+    ``raw`` [..., 2C] is the zero-initialized final conv's output: the first
+    C channels are the mean offset (symbol units = center + off * mean_span),
+    the last C the raw scale (sigma = clipped softplus shifted so raw 0 =>
+    scale_init). Splitting this out of the modules lets the joint context
+    consume the hyper head's RAW features (which the fixed-point twin in
+    coding/detnet.py can reproduce exactly) while anchors use the derived
+    (mean, scale)."""
+    mean_off, raw_scale = jnp.split(raw, 2, axis=-1)
+    center = (levels - 1) / 2.0
+    mean = center + mean_off * mean_span
+    scale = jnp.clip(
+        jax.nn.softplus(raw_scale + _softplus_inv(scale_init)),
+        scale_min,
+        scale_max,
+    )
+    return mean, scale
+
+
 class HyperEncoder(nn.Module):
     """Normalized main latent [N,h,w,C] -> continuous hyper latent
     [N,ceil(h/4),ceil(w/4),zc] in symbol units (unbounded, integer grid)."""
@@ -66,8 +94,10 @@ class HyperDecoder(nn.Module):
     z_span: float = 16.0     # input normalization of the hyper latent
 
     @nn.compact
-    def __call__(self, z_sym_units: jnp.ndarray,
-                 out_hw: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def raw(self, z_sym_units: jnp.ndarray,
+            out_hw: tuple[int, int]) -> jnp.ndarray:
+        """Raw 2C-channel head output (pre-geometry); the joint context's
+        conditioning features and the det twin's exact target."""
         act = lambda v: nn.leaky_relu(v, negative_slope=0.2)
         x = z_sym_units / self.z_span
         x = act(nn.ConvTranspose(self.hidden, (5, 5), strides=(2, 2),
@@ -77,17 +107,16 @@ class HyperDecoder(nn.Module):
         # SAME-padded stride-2 transposes produce 2*ceil(h/2); crop to the
         # main latent grid (odd sizes).
         x = x[:, : out_hw[0], : out_hw[1], :]
-        out = nn.Conv(2 * self.channels, (3, 3), padding="SAME", name="hd3",
-                      kernel_init=nn.initializers.zeros)(x)
-        mean_off, raw_scale = jnp.split(out, 2, axis=-1)
-        center = (self.levels - 1) / 2.0
-        mean = center + mean_off * self.mean_span
-        scale = jnp.clip(
-            jax.nn.softplus(raw_scale + _softplus_inv(self.scale_init)),
-            self.scale_min,
-            self.scale_max,
+        return nn.Conv(2 * self.channels, (3, 3), padding="SAME", name="hd3",
+                       kernel_init=nn.initializers.zeros)(x)
+
+    def __call__(self, z_sym_units: jnp.ndarray,
+                 out_hw: tuple[int, int]) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return head_geometry(
+            self.raw(z_sym_units, out_hw),
+            self.levels, self.mean_span, self.scale_init,
+            self.scale_min, self.scale_max,
         )
-        return mean, scale
 
 
 def hyper_grid_hw(lat_hw: tuple[int, int]) -> tuple[int, int]:
