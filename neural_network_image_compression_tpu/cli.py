@@ -82,6 +82,7 @@ def _build_config(args) -> "Config":
             cfg.model,
             preset=args.preset,
             compute_dtype=args.compute_dtype or cfg.model.compute_dtype,
+            activation=getattr(args, "activation", None) or cfg.model.activation,
         ),
         data=dataclasses.replace(cfg.data, train_dir=args.data, val_dir=args.val),
         entropy=dataclasses.replace(
@@ -146,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                          default=None,
                          help="default: the config preset's dtype")
+    p_train.add_argument("--activation",
+                         choices=["preset_default", "leaky_relu", "prelu", "gdn"],
+                         default=None,
+                         help="transform activation override; 'gdn' = divisive "
+                              "normalization (IGDN in synthesis), beyond-"
+                              "reference R-D preset")
     p_train.add_argument("--surrogate", choices=["noise", "ste", "noise+ste"],
                          default=None,
                          help="decoder-side quantization surrogate "

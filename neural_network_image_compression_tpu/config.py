@@ -35,6 +35,12 @@ class ModelConfig:
     latent_channels: int = 32            # per colour plane
     leaky_relu_slope: float = 0.2        # TF default alpha (tf.nn.leaky_relu)
     prelu_init: float = 0.2              # reference tf1_13/src/utils.py:20-21
+    # 'preset_default' = the reference activation of the chosen preset
+    # (leaky_relu for base/tf2_0, PReLU for deep/tf1_13); 'gdn' swaps the
+    # inter-stage activations for (I)GDN divisive normalization
+    # (models/layers.py GDN) — beyond-reference R-D upgrade.
+    activation: str = "preset_default"   # 'preset_default' | 'leaky_relu'
+                                         # | 'prelu' | 'gdn'
     clip_latent: bool = True             # clip latent to [0,1] before quantize
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16' for conv compute
     backend: str = "xla"                 # 'xla' | 'pallas' | 'auto' (inference

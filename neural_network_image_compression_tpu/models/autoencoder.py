@@ -25,7 +25,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from neural_network_image_compression_tpu.models.layers import PReLU
+from neural_network_image_compression_tpu.models.layers import GDN, PReLU
 
 
 def _dtype(name: str):
@@ -39,11 +39,28 @@ class _TransformBase(nn.Module):
     prelu_init: float = 0.2
     clip_output: bool = True
     compute_dtype: str = "float32"
+    # 'preset_default' = leaky_relu for 'base' (tf2_0), PReLU for 'deep'
+    # (tf1_13); 'gdn' swaps every inter-stage activation for GDN (IGDN in the
+    # synthesis transform) and leaves the FINAL stage of each transform linear
+    # (the standard Balle placement: no nonlinearity on the latent itself or
+    # on the image-domain output, which is clipped separately).
+    activation: str = "preset_default"
 
-    def _act(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
-        if self.preset == "deep":
+    _GDN_INVERSE = False  # overridden by SynthesisTransform
+
+    def _act(self, x: jnp.ndarray, name: str, final: bool = False) -> jnp.ndarray:
+        kind = self.activation
+        if kind == "preset_default":
+            kind = "prelu" if self.preset == "deep" else "leaky_relu"
+        if kind == "gdn":
+            if final:
+                return x
+            return GDN(inverse=self._GDN_INVERSE, name=name + "_gdn")(x)
+        if kind == "prelu":
             return PReLU(init=self.prelu_init, name=name)(x)
-        return nn.leaky_relu(x, negative_slope=self.leaky_relu_slope)
+        if kind == "leaky_relu":
+            return nn.leaky_relu(x, negative_slope=self.leaky_relu_slope)
+        raise ValueError(f"unknown activation {kind!r}")
 
     def _conv(self, features: int, kernel: int, stride: int, name: str):
         return nn.Conv(
@@ -95,7 +112,8 @@ class AnalysisTransform(_TransformBase):
             x = m(self._act(self._conv(64, 3, 1, "conv4")(x), "act4"), 4)
             x = x + res
             x = m(
-                self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8"), 8
+                self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8",
+                          final=True), 8
             )
         elif self.preset == "deep":
             x = m(self._act(self._conv(32, 5, 2, "conv1")(x), "act1"), 2)
@@ -108,7 +126,8 @@ class AnalysisTransform(_TransformBase):
             res = self._conv(64, 3, 1, "conv7")(res)
             x = m(self._act(x + res, "act7"), 8)
             x = m(
-                self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8"),
+                self._act(self._conv(self.latent_channels, 5, 2, "conv8")(x), "act8",
+                          final=True),
                 16,
             )
         else:
@@ -120,6 +139,8 @@ class SynthesisTransform(_TransformBase):
     """Latent [N,h,w,latent_channels] -> image plane [N,h*ds,w*ds,out_channels]."""
 
     out_channels: int = 1
+
+    _GDN_INVERSE = True  # synthesis uses IGDN (the multiplicative inverse)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, column_mask=None) -> jnp.ndarray:
@@ -133,7 +154,8 @@ class SynthesisTransform(_TransformBase):
             x = x + res
             x = m(self._act(self._convT(64, 5, 2, "dconv7")(x), "act7"), 4)
             x = m(
-                self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8"), 8
+                self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8",
+                          final=True), 8
             )
         elif self.preset == "deep":
             x = m(self._act(self._convT(64, 5, 2, "dconv1")(x), "act1"), 2)
@@ -146,7 +168,8 @@ class SynthesisTransform(_TransformBase):
             x = m(self._act(x + res, "act6"), 4)
             x = m(self._act(self._convT(64, 5, 2, "dconv7")(x), "act7"), 8)
             x = m(
-                self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8"),
+                self._act(self._convT(self.out_channels, 5, 2, "dconv8")(x), "act8",
+                          final=True),
                 16,
             )
         else:
@@ -163,6 +186,7 @@ def make_transforms(model_cfg) -> tuple[AnalysisTransform, SynthesisTransform]:
         prelu_init=model_cfg.prelu_init,
         clip_output=model_cfg.clip_latent,
         compute_dtype=model_cfg.compute_dtype,
+        activation=getattr(model_cfg, "activation", "preset_default"),
     )
     analysis = AnalysisTransform(**kwargs)
     kwargs["clip_output"] = True  # decoder output is always clipped to [0,1]

@@ -209,7 +209,13 @@ class NeuralCodec:
         # 32x DMA amplification padding the 1-channel input to 128 lanes),
         # pallas for synthesis (phase-decomposed transposed convs beat XLA's
         # dilated-conv lowering by ~1.2x).
-        if self.cfg.model.backend == "pallas" and column_mask is None:
+        # The Pallas kernels fuse the preset's own activation; any activation
+        # override (e.g. GDN) routes through the Flax/XLA path.
+        default_act = (
+            getattr(self.cfg.model, "activation", "preset_default")
+            == "preset_default"
+        )
+        if self.cfg.model.backend == "pallas" and column_mask is None and default_act:
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
             if self.cfg.model.preset == "base":
@@ -224,9 +230,14 @@ class NeuralCodec:
     def _apply_synthesis(self, p, x, column_mask=None):
         # 'auto': pallas synthesis only in float32 — in bfloat16 XLA's native
         # lowering is faster for both transforms (measured on v5e).
-        use_pallas = self.cfg.model.backend == "pallas" or (
-            self.cfg.model.backend == "auto"
-            and self.cfg.model.compute_dtype == "float32"
+        use_pallas = (
+            self.cfg.model.backend == "pallas"
+            or (
+                self.cfg.model.backend == "auto"
+                and self.cfg.model.compute_dtype == "float32"
+            )
+        ) and getattr(self.cfg.model, "activation", "preset_default") == (
+            "preset_default"
         )
         if use_pallas and column_mask is None:
             from neural_network_image_compression_tpu.ops import pallas_conv as pc

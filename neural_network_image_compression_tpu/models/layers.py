@@ -25,6 +25,61 @@ class PReLU(nn.Module):
         return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
+class GDN(nn.Module):
+    """Generalized divisive normalization (Balle, Laparra & Simoncelli 2016):
+
+        y_i = x_i / sqrt(beta_i + sum_j gamma_ij * x_j^2)        (analysis)
+        y_i = x_i * sqrt(beta_i + sum_j gamma_ij * x_j^2)        (synthesis,
+                                                                  ``inverse=True``)
+
+    The activation the reference's thesis-era topologies predate; offered as
+    ``model.activation='gdn'`` because it is the single highest-leverage R-D
+    upgrade for conv compression autoencoders (it Gaussianizes the latent the
+    factorized/conditional entropy models then code). No reference analogue —
+    the reference uses leaky_relu (tf2_0/src/encoder.py:10-17) / PReLU
+    (tf1_13/src/utils.py:17-25), both kept as presets.
+
+    TPU notes: the channel mix ``sum_j gamma_ij x_j^2`` is a 1x1 conv — an
+    [N*H*W, C] x [C, C] matmul that XLA tiles onto the MXU and fuses with the
+    surrounding elementwise ops. Evaluated in float32 regardless of the conv
+    compute dtype (the rsqrt is numerically sensitive and the op is a few % of
+    transform FLOPs). Nonnegativity of beta/gamma is by construction (stored
+    as square roots); the off-diagonal sqrt-params initialise at a small
+    positive value instead of 0 so their gradient is nonzero from step 1.
+    Pointwise across space, so spatial-tiling edge masks commute with it
+    (GDN(0) == 0) and the halo-exchange path needs no changes.
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    gamma_offdiag_sqrt_init: float = 1e-2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        beta_sqrt = self.param(
+            "beta_sqrt", nn.initializers.ones, (c,), jnp.float32
+        )
+
+        def _gamma_init(key, shape, dtype=jnp.float32):
+            del key
+            eye = jnp.eye(c, dtype=dtype)
+            return eye * (self.gamma_init ** 0.5) + (1.0 - eye) * (
+                self.gamma_offdiag_sqrt_init
+            )
+
+        gamma_sqrt = self.param("gamma_sqrt", _gamma_init, (c, c), jnp.float32)
+        xf = x.astype(jnp.float32)
+        norm = jnp.sqrt(
+            self.beta_min
+            + beta_sqrt * beta_sqrt
+            + jnp.einsum("nhwj,ji->nhwi", xf * xf, gamma_sqrt * gamma_sqrt)
+        )
+        out = xf * norm if self.inverse else xf / norm
+        return out.astype(x.dtype)
+
+
 def make_activation(kind: str, slope: float = 0.2, prelu_init: float = 0.2):
     """Activation factory. 'leaky_relu' matches TF's default alpha=0.2
     (used throughout reference tf2_0/src/encoder.py:10-17); 'prelu' matches

@@ -1,0 +1,189 @@
+"""GDN activation preset (models/layers.py GDN, model.activation='gdn').
+
+Beyond-reference capability: the reference's topologies use leaky_relu
+(tf2_0/src/encoder.py:10-17) / PReLU (tf1_13/src/utils.py:17-25); GDN is the
+standard divisive-normalization upgrade for conv compression autoencoders.
+These tests pin the layer math, the transform wiring (final stages stay
+linear), training integration, and CLI/config plumbing.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_network_image_compression_tpu.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    QuantizerConfig,
+    TrainConfig,
+)
+from neural_network_image_compression_tpu.models import NeuralCodec
+from neural_network_image_compression_tpu.models.autoencoder import (
+    AnalysisTransform,
+    SynthesisTransform,
+)
+from neural_network_image_compression_tpu.models.layers import GDN
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_gdn_math_and_inverse(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    gdn = GDN()
+    params = gdn.init(jax.random.key(0), x)["params"]
+    y = gdn.apply({"params": params}, x)
+    # closed form with the initial parameters
+    beta = 1e-6 + params["beta_sqrt"] ** 2
+    gamma = params["gamma_sqrt"] ** 2
+    norm = jnp.sqrt(beta + jnp.einsum("nhwj,ji->nhwi", x * x, gamma))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x / norm), rtol=1e-5)
+    # the forward map strictly shrinks magnitudes when norm > 1 ... and the
+    # inverse with the SAME stats recovers x exactly: IGDN(params, GDN_out)
+    # is not an algebraic inverse, but x * norm / norm == x elementwise.
+    igdn = GDN(inverse=True)
+    z = igdn.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x * norm), rtol=1e-5)
+    # GDN(0) == 0: spatial-tiling edge masks commute with the activation
+    zero = jnp.zeros_like(x)
+    np.testing.assert_array_equal(np.asarray(gdn.apply({"params": params}, zero)), 0.0)
+
+
+def test_gdn_norm_positive_and_gradients_flow(rng):
+    """Nonnegativity is by construction; the off-diagonal sqrt-params start
+    small-positive precisely so their gradient is nonzero from step 1."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 6)).astype(np.float32) * 3)
+    gdn = GDN()
+    params = gdn.init(jax.random.key(1), x)["params"]
+
+    def loss(p):
+        return (gdn.apply({"params": p}, x) ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    gg = np.asarray(g["gamma_sqrt"])
+    offdiag = gg[~np.eye(gg.shape[0], dtype=bool)]
+    assert np.abs(offdiag).max() > 0.0
+    assert np.isfinite(gg).all()
+
+
+@pytest.mark.parametrize("preset,ds", [("base", 8), ("deep", 16)])
+def test_gdn_transform_shapes_and_params(preset, ds, rng):
+    x = jnp.asarray(rng.random((2, 32, 32, 1)).astype(np.float32))
+    ana = AnalysisTransform(preset=preset, activation="gdn", clip_output=False)
+    p = ana.init(jax.random.key(0), x)["params"]
+    lat = ana.apply({"params": p}, x)
+    assert lat.shape == (2, 32 // ds, 32 // ds, 32)
+    # GDN params exist on inter-stage activations, NOT on the final stage
+    names = set(p.keys())
+    assert any(n.endswith("_gdn") for n in names)
+    assert not any(n.startswith("act8") for n in names)
+
+    syn = SynthesisTransform(preset=preset, activation="gdn", out_channels=1)
+    sp = syn.init(jax.random.key(1), lat)["params"]
+    out = syn.apply({"params": sp}, lat)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert any(n.endswith("_gdn") for n in sp.keys())
+
+
+def _gdn_cfg():
+    return Config(
+        model=ModelConfig(clip_latent=False, activation="gdn"),
+        quantizer=QuantizerConfig(grid="integer"),
+        data=DataConfig(patch_size=16),
+        train=TrainConfig(
+            batch_size=4,
+            max_epochs=1,
+            val_every_steps=0,
+            checkpoint_every_steps=0,
+            log_every_steps=10_000,
+        ),
+    )
+
+
+def test_gdn_train_step_and_rate_gradient(rng):
+    from neural_network_image_compression_tpu.training import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = _gdn_cfg()
+    codec = NeuralCodec(cfg)
+    state = init_train_state(codec, jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(codec, cfg))
+    imgs = (rng.random((4, 16, 16, 3)) * 255).astype(np.uint8)
+    s1, m1 = step(state, imgs, jax.random.key(1))
+    s2, m2 = step(s1, imgs, jax.random.key(2))
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    # the GDN parameters themselves must receive gradient
+    before = state.params["analysis_y"]["act1_gdn"]["gamma_sqrt"]
+    after = s2.params["analysis_y"]["act1_gdn"]["gamma_sqrt"]
+    assert np.abs(np.asarray(after) - np.asarray(before)).max() > 0
+
+
+def test_gdn_round_trip_bitstream(rng):
+    """Full encode -> rANS container -> decode with the GDN codec."""
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        compress_image,
+        decompress_image,
+    )
+
+    cfg = _gdn_cfg()
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0), (32, 48))
+    img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    blob = compress_image(codec, params, img)
+    recon = decompress_image(codec, params, blob)
+    assert recon.shape == img.shape
+    assert recon.dtype == np.uint8
+
+
+def test_gdn_cli_and_config_round_trip():
+    from neural_network_image_compression_tpu.cli import _build_config
+    import argparse
+
+    args = argparse.Namespace(
+        reference_faithful=False,
+        tpu_native=True,
+        data="d",
+        val="v",
+        preset="base",
+        compute_dtype=None,
+        activation="gdn",
+        entropy_context=None,
+        surrogate=None,
+        batch_size=8,
+        epochs=1,
+        rd_lambda=0.01,
+        rd_lambda_step=0.0,
+        distortion="ssim",
+        bitstream=None,
+        freeze_transforms=False,
+        val_every_steps=None,
+    )
+    cfg = _build_config(args)
+    assert cfg.model.activation == "gdn"
+    # JSON round-trip preserves the field
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2.model.activation == "gdn"
+
+
+def test_gdn_forces_xla_backend(rng):
+    """backend='pallas'/'auto' must not route a GDN model through the fused
+    leaky_relu Pallas kernels."""
+    cfg = _gdn_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backend="pallas")
+    )
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0), (16, 16))
+    img = (rng.random((1, 16, 16, 3)) * 255).astype(np.uint8)
+    sym = codec.encode(params, img)          # would KeyError on act*_gdn params
+    out = codec.decode(params, sym, out_hw=(16, 16))
+    assert out.shape == (1, 16, 16, 3)
