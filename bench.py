@@ -23,9 +23,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 H, W = 512, 768
-# Serving batch: BENCH_BATCH env overrides (larger batches fill the MXU
-# better on this model's small-channel convs; measured on-chip per round).
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# Serving batch: BENCH_BATCH env overrides. Larger batches fill the MXU
+# better on this model's small-channel convs — measured on-chip (v5 lite,
+# r3 probe runs_r3/bench_probe.log): batch 8 -> 341 img/s (8.6% MFU),
+# 16 -> 445 (11.2%), 32 -> 500 (12.6%).
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = 20
 
 

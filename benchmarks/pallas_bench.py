@@ -24,6 +24,9 @@ ITERS = 10
 
 
 def timeit(fn, *args):
+    """Returns seconds/call, or None if this configuration fails to compile
+    (e.g. the f32 conv3x3 kernel's scoped-VMEM stack overflows at large
+    batch x 128-channel shapes — runs_r3/pallas_bench.log)."""
     @jax.jit
     def run(*a):
         def body(carry, i):
@@ -33,7 +36,11 @@ def timeit(fn, *args):
         total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(ITERS))
         return total
 
-    float(run(*args))  # compile+warm
+    try:
+        float(run(*args))  # compile+warm
+    except Exception as e:  # noqa: BLE001 — report and keep benchmarking
+        print(f"  [config failed: {type(e).__name__}: {str(e).splitlines()[0][:100]}]")
+        return None
     t0 = time.perf_counter()
     float(run(*args))
     return (time.perf_counter() - t0) / ITERS
@@ -66,7 +73,10 @@ def bench_preset(preset: str, batch: int, dtype) -> None:
     t_tap_s = timeit(lambda p, v: pal_s(p, v, tap_concat=True), ps, lat)
 
     def row(name, t):
-        print(f"  {name:24s} {t*1e3:8.2f} ms/call  {batch/t:8.1f} img/s")
+        if t is None:
+            print(f"  {name:24s}      n/a (compile failed)")
+        else:
+            print(f"  {name:24s} {t*1e3:8.2f} ms/call  {batch/t:8.1f} img/s")
 
     print(f"[{preset} preset, {np.dtype(dtype).name}]")
     row("analysis  XLA", t_xla_a)
@@ -75,9 +85,10 @@ def bench_preset(preset: str, batch: int, dtype) -> None:
     row("synthesis XLA", t_xla_s)
     row("synthesis pallas", t_pal_s)
     row("synthesis pallas+tap", t_tap_s)
-    print(f"  pallas/XLA speed: analysis {t_xla_a/t_pal_a:.2f}x "
-          f"(tap {t_xla_a/t_tap_a:.2f}x), "
-          f"synthesis {t_xla_s/t_pal_s:.2f}x (tap {t_xla_s/t_tap_s:.2f}x)")
+    if all(t is not None for t in (t_xla_a, t_pal_a, t_tap_a, t_xla_s, t_pal_s, t_tap_s)):
+        print(f"  pallas/XLA speed: analysis {t_xla_a/t_pal_a:.2f}x "
+              f"(tap {t_xla_a/t_tap_a:.2f}x), "
+              f"synthesis {t_xla_s/t_pal_s:.2f}x (tap {t_xla_s/t_tap_s:.2f}x)")
 
 
 def main():
