@@ -1,71 +1,175 @@
-"""Optional bitstream encryption.
+"""Bitstream encryption (authenticated envelope around a container).
 
 The reference README advertises "autoencoder based lossy image compression +
 encryption" (reference README.md:2) but contains no encryption code anywhere
 (SURVEY.md section 2a defect list) — the closest it gets is the visually
 scrambled packed-latent PNG. This module supplies the claimed capability for
-real: the container's stream payload is encrypted with a SHA-256-based CTR
-keystream (key derived from a passphrase via PBKDF2-HMAC-SHA256, per-stream
-random nonce), with an HMAC-SHA256 tag for integrity.
+real, with standard primitives, encrypt-then-MAC and proper key separation:
 
-Uses only the standard library (hashlib/hmac/os). This is a textbook
-stream-cipher construction, suitable for keeping latents confidential at
-rest; it has not been through formal review — use a vetted library where
-that matters.
+    key material = HKDF-SHA256(ikm=PBKDF2(password), salt=random 16B, L=64)
+                   -> 32B ChaCha20 key || 32B HMAC key
+    ciphertext   = ChaCha20(RFC 8439, nonce=random 12B, counter=1)(container)
+    tag          = HMAC-SHA256(mac_key, header-through-nonce || ciphertext)
+
+Envelope layout (little-endian):
+
+    magic   4s  b"NICE"
+    version u8  2   (v1 was a SHA-256-CTR draft, never shipped in artifacts)
+    cipher  u8  1 = chacha20+hmac-sha256
+    salt    16s KDF salt (fresh per container)
+    nonce   12s ChaCha20 nonce (fresh per container)
+    tag     32s HMAC-SHA256 over everything except itself
+    ciphertext  (len(container) bytes)
+
+Decrypt verifies the tag in constant time before touching the ciphertext, so
+a wrong password, truncation, or a flipped bit all fail loudly (ValueError)
+instead of feeding garbage to the rANS decoder. The tag covers the envelope
+header too (magic/version/cipher/salt/nonce), not just the ciphertext.
+
+The ChaCha20 core is numpy-vectorized over blocks — the whole keystream for
+a container is generated in one shot, far above container-size throughput
+needs — and is pinned to the RFC 8439 section 2.3.2 block-function and 2.4.2
+encryption test vectors in tests/test_coding.py. Everything else is stdlib
+(hashlib/hmac/os). This construction is textbook but has not been through
+formal review — use a vetted library where that matters.
 """
 from __future__ import annotations
 
 import hashlib
-import hmac
+import hmac as _hmac
 import os
 import struct
 
-_MAGIC = b"NICE"  # encrypted-payload marker
+import numpy as np
+
+_MAGIC = b"NICE"
+_VERSION = 2
+_CIPHER_CHACHA20_HMAC = 1
+_HEADER = struct.Struct("<4sBB16s12s32s")
 _PBKDF2_ITERS = 100_000
-_NONCE_LEN = 16
-_TAG_LEN = 32
+
+
+class WrongKeyError(ValueError):
+    """Authentication failed: wrong password, truncation, or tampering."""
+
+
+# ------------------------------------------------------------------ KDF
+
+
+def _hkdf_sha256(ikm: bytes, salt: bytes, info: bytes, length: int) -> bytes:
+    """RFC 5869 HKDF-Extract + Expand with SHA-256."""
+    prk = _hmac.new(salt, ikm, hashlib.sha256).digest()
+    out = b""
+    block = b""
+    counter = 1
+    while len(out) < length:
+        block = _hmac.new(
+            prk, block + info + bytes([counter]), hashlib.sha256
+        ).digest()
+        out += block
+        counter += 1
+    return out[:length]
 
 
 def derive_key(password: str, salt: bytes) -> bytes:
+    """Password -> 32B intermediate key (PBKDF2 slows brute force)."""
     return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, _PBKDF2_ITERS)
 
 
-def _keystream(key: bytes, nonce: bytes, n: int) -> bytes:
-    out = bytearray()
-    counter = 0
-    while len(out) < n:
-        out += hashlib.sha256(key + nonce + struct.pack("<Q", counter)).digest()
-        counter += 1
-    return bytes(out[:n])
+def _derive_keys(password: str, salt: bytes) -> tuple[bytes, bytes]:
+    km = _hkdf_sha256(derive_key(password, salt), salt, b"nic-container-v2", 64)
+    return km[:32], km[32:]
 
 
-def encrypt(payload: bytes, password: str) -> bytes:
-    """payload -> MAGIC | salt | nonce | ciphertext | hmac_tag."""
-    salt = os.urandom(16)
-    nonce = os.urandom(_NONCE_LEN)
-    key = derive_key(password, salt)
-    cipher = bytes(a ^ b for a, b in zip(payload, _keystream(key, nonce, len(payload))))
-    tag = hmac.new(key, nonce + cipher, hashlib.sha256).digest()
-    return _MAGIC + salt + nonce + cipher + tag
+# ------------------------------------------------------------ ChaCha20 core
+
+_SIGMA = np.frombuffer(b"expand 32-byte k", dtype="<u4").copy()
 
 
-def decrypt(blob: bytes, password: str) -> bytes:
-    """Inverse of :func:`encrypt`; raises ValueError on wrong password or
-    tampering (HMAC mismatch)."""
-    if blob[:4] != _MAGIC:
-        raise ValueError("not an encrypted container")
-    salt = blob[4:20]
-    nonce = blob[20 : 20 + _NONCE_LEN]
-    cipher = blob[20 + _NONCE_LEN : -_TAG_LEN]
-    tag = blob[-_TAG_LEN:]
-    key = derive_key(password, salt)
-    expect = hmac.new(key, nonce + cipher, hashlib.sha256).digest()
-    if not hmac.compare_digest(tag, expect):
-        raise ValueError("authentication failed (wrong password or corrupted data)")
-    return bytes(
-        a ^ b for a, b in zip(cipher, _keystream(key, nonce, len(cipher)))
-    )
+def _rotl(x: np.ndarray, n: int) -> np.ndarray:
+    return (x << np.uint32(n)) | (x >> np.uint32(32 - n))
+
+
+def _quarter(s: np.ndarray, a: int, b: int, c: int, d: int) -> None:
+    # s: [nblocks, 16] uint32, updated in place; integer ops wrap mod 2^32.
+    s[:, a] += s[:, b]; s[:, d] = _rotl(s[:, d] ^ s[:, a], 16)
+    s[:, c] += s[:, d]; s[:, b] = _rotl(s[:, b] ^ s[:, c], 12)
+    s[:, a] += s[:, b]; s[:, d] = _rotl(s[:, d] ^ s[:, a], 8)
+    s[:, c] += s[:, d]; s[:, b] = _rotl(s[:, b] ^ s[:, c], 7)
+
+
+def chacha20_blocks(key: bytes, nonce: bytes, counters: np.ndarray) -> np.ndarray:
+    """RFC 8439 block function for a vector of counters -> [n, 64] u8."""
+    if len(key) != 32 or len(nonce) != 12:
+        raise ValueError("chacha20 needs a 32-byte key and 12-byte nonce")
+    n = counters.shape[0]
+    init = np.zeros((n, 16), dtype=np.uint32)
+    init[:, 0:4] = _SIGMA
+    init[:, 4:12] = np.frombuffer(key, dtype="<u4")
+    init[:, 12] = counters.astype(np.uint32)
+    init[:, 13:16] = np.frombuffer(nonce, dtype="<u4")
+    s = init.copy()
+    for _ in range(10):  # 20 rounds = 10 double-rounds
+        _quarter(s, 0, 4, 8, 12)
+        _quarter(s, 1, 5, 9, 13)
+        _quarter(s, 2, 6, 10, 14)
+        _quarter(s, 3, 7, 11, 15)
+        _quarter(s, 0, 5, 10, 15)
+        _quarter(s, 1, 6, 11, 12)
+        _quarter(s, 2, 7, 8, 13)
+        _quarter(s, 3, 4, 9, 14)
+    s += init
+    return s.astype("<u4").view(np.uint8).reshape(n, 64)
+
+
+def chacha20_xor(key: bytes, nonce: bytes, data: bytes, counter: int = 1) -> bytes:
+    """Encrypt/decrypt (self-inverse) ``data`` with the RFC 8439 stream."""
+    nblocks = -(-len(data) // 64)
+    if nblocks == 0:
+        return b""
+    counters = np.arange(nblocks, dtype=np.uint64) + np.uint64(counter)
+    stream = chacha20_blocks(key, nonce, counters).reshape(-1)[: len(data)]
+    return (np.frombuffer(data, dtype=np.uint8) ^ stream).tobytes()
+
+
+# ------------------------------------------------------------- envelope API
 
 
 def is_encrypted(blob: bytes) -> bool:
     return blob[:4] == _MAGIC
+
+
+def encrypt(payload: bytes, password: str) -> bytes:
+    """Wrap container bytes in the authenticated envelope described above."""
+    salt = os.urandom(16)
+    nonce = os.urandom(12)
+    enc_key, mac_key = _derive_keys(password, salt)
+    ciphertext = chacha20_xor(enc_key, nonce, payload)
+    head = (
+        _MAGIC + struct.pack("<BB", _VERSION, _CIPHER_CHACHA20_HMAC) + salt + nonce
+    )
+    tag = _hmac.new(mac_key, head + ciphertext, hashlib.sha256).digest()
+    return head + tag + ciphertext
+
+
+def decrypt(blob: bytes, password: str) -> bytes:
+    """Verify and unwrap; raises :class:`WrongKeyError` on authentication
+    failure, ``ValueError`` on a malformed envelope."""
+    if len(blob) < _HEADER.size:
+        raise ValueError("truncated encrypted container")
+    magic, version, cipher, salt, nonce, tag = _HEADER.unpack_from(blob)
+    if magic != _MAGIC:
+        raise ValueError("not an encrypted container")
+    if version != _VERSION:
+        raise ValueError(f"unsupported encrypted-container version {version}")
+    if cipher != _CIPHER_CHACHA20_HMAC:
+        raise ValueError(f"unknown cipher id {cipher}")
+    ciphertext = blob[_HEADER.size:]
+    enc_key, mac_key = _derive_keys(password, salt)
+    head = blob[: _HEADER.size - 32]
+    expect = _hmac.new(mac_key, head + ciphertext, hashlib.sha256).digest()
+    if not _hmac.compare_digest(expect, tag):
+        raise WrongKeyError(
+            "authentication failed (wrong password or corrupted data)"
+        )
+    return chacha20_xor(enc_key, nonce, ciphertext)

@@ -162,6 +162,62 @@ class TestCrypto:
         with pytest.raises(ValueError):
             decrypt(tampered, "right")
 
+    def test_chacha20_rfc8439_block_vector(self):
+        """RFC 8439 section 2.3.2: the serialized block function output."""
+        from neural_network_image_compression_tpu.coding.crypto import (
+            chacha20_blocks,
+        )
+
+        key = bytes(range(32))
+        nonce = bytes.fromhex("000000090000004a00000000")
+        block = chacha20_blocks(key, nonce, np.array([1], dtype=np.uint64))
+        expect = bytes.fromhex(
+            "10f1e7e4d13b5915500fdd1fa32071c4"
+            "c7d1f4c733c068030422aa9ac3d46c4e"
+            "d2826446079faa0914c2d705d98b02a2"
+            "b5129cd1de164eb9cbd083e8a2503c4e"
+        )
+        assert block.tobytes() == expect
+
+    def test_chacha20_rfc8439_encryption_vector(self):
+        """RFC 8439 section 2.4.2: the sunscreen plaintext."""
+        from neural_network_image_compression_tpu.coding.crypto import chacha20_xor
+
+        key = bytes(range(32))
+        nonce = bytes.fromhex("000000000000004a00000000")
+        plaintext = (
+            b"Ladies and Gentlemen of the class of '99: If I could offer you "
+            b"only one tip for the future, sunscreen would be it."
+        )
+        expect = bytes.fromhex(
+            "6e2e359a2568f98041ba0728dd0d6981"
+            "e97e7aec1d4360c20a27afccfd9fae0b"
+            "f91b65c5524733ab8f593dabcd62b357"
+            "1639d624e65152ab8f530c359f0861d8"
+            "07ca0dbf500d6a6156a38e088a22b65e"
+            "52bc514d16ccf806818ce91ab7793736"
+            "5af90bbf74a35be6b40b8eedf2785e42"
+            "874d"
+        )
+        got = chacha20_xor(key, nonce, plaintext, counter=1)
+        assert got == expect
+        assert chacha20_xor(key, nonce, got, counter=1) == plaintext
+
+    def test_key_separation_and_header_authenticated(self):
+        """The envelope header (incl. salt) is covered by the MAC: flipping
+        a salt byte must fail authentication, not silently derive a different
+        key and emit garbage."""
+        from neural_network_image_compression_tpu.coding.crypto import (
+            WrongKeyError,
+            decrypt,
+            encrypt,
+        )
+
+        blob = bytearray(encrypt(b"payload", "pw"))
+        blob[7] ^= 1  # inside the salt
+        with pytest.raises(WrongKeyError):
+            decrypt(bytes(blob), "pw")
+
     def test_encrypted_container_end_to_end(self, rng):
         import jax
 
