@@ -105,20 +105,42 @@ def measure_tpu() -> dict:
     # Roofline accounting (VERDICT r1 item 3): analytic conv FLOPs of the
     # round-trip vs the chip's dense-bf16 peak.
     from neural_network_image_compression_tpu.utils.flops import (
+        chip_peak_hbm_gbps,
         chip_peak_tflops,
         round_trip_flops,
+        round_trip_hbm_bytes,
     )
 
     flops_per_image = round_trip_flops("base", H, W)
     achieved = rate * flops_per_image / 1e12
-    peak = chip_peak_tflops(jax.devices()[0].device_kind)
+    kind = jax.devices()[0].device_kind
+    peak = chip_peak_tflops(kind)
+    # Both rooflines: compute (MXU) and memory (ideal-fusion activation
+    # traffic vs HBM peak). When both utilizations are low the workload is
+    # dispatch/occupancy-bound (many small-grid kernels) and batch size is
+    # the lever — which the r3 batch probes confirmed (8->32: +47% rate).
+    hbm_bytes = round_trip_hbm_bytes("base", H, W, itemsize=2)
+    hbm_gbps = rate * hbm_bytes / 1e9
+    peak_bw = chip_peak_hbm_gbps(kind)
+    mfu = (achieved / peak) if peak else None
+    bw_util = (hbm_gbps / peak_bw) if peak_bw else None
+    bound = None
+    if mfu is not None and bw_util is not None:
+        if max(mfu, bw_util) < 0.25:
+            bound = "dispatch"
+        else:
+            bound = "mxu" if mfu >= bw_util else "hbm"
     return {
         "images_per_s": rate,
         "gflop_per_image": flops_per_image / 1e9,
         "achieved_tflops": achieved,
-        "device_kind": jax.devices()[0].device_kind,
+        "device_kind": kind,
         "peak_bf16_tflops": peak,
-        "mfu": (achieved / peak) if peak else None,
+        "mfu": mfu,
+        "hbm_gb_per_image": hbm_bytes / 1e9,
+        "achieved_hbm_gbps": hbm_gbps,
+        "hbm_util": bw_util,
+        "bound": bound,
     }
 
 
@@ -221,6 +243,10 @@ def main():
                 "gflop_per_image": round(stats["gflop_per_image"], 2),
                 "achieved_tflops": round(stats["achieved_tflops"], 2),
                 "mfu": round(stats["mfu"], 4) if stats["mfu"] else None,
+                "hbm_util": (
+                    round(stats["hbm_util"], 4) if stats["hbm_util"] else None
+                ),
+                "bound": stats["bound"],
                 "device_kind": stats["device_kind"],
                 "pallas_compiled_parity": f"ok (max_diff {parity['max_diff']:.1e})",
             }

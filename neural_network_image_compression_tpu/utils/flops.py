@@ -94,6 +94,66 @@ def round_trip_flops(preset: str, h: int, w: int) -> int:
     return 3 * (a + s)
 
 
+def _stack_hbm_bytes(layers, h: int, w: int, cin0: int, transposed_dir: bool,
+                     itemsize: int) -> int:
+    """Ideal-fusion HBM traffic of one plane through a layer stack: each
+    layer reads its input activation once and writes its output once
+    (activation/bias fused into the conv epilogue — XLA does this), plus one
+    extra read per residual skip. Weights are <0.5 MB total and ignored."""
+    del cin0
+    total = 0
+    for kind, _k, cin_l, cout, s in layers:
+        in_px = h * w
+        if kind == "T":
+            h, w = h * s, w * s
+        elif not transposed_dir:
+            h, w = -(-h // s), -(-w // s)
+        out_px = h * w
+        total += (in_px * cin_l + out_px * cout) * itemsize
+    # residual skips re-read a 64-ch mid-resolution tensor (one per stack in
+    # 'base', two in 'deep') — <10% of total; left out of the ideal bound.
+    return total
+
+
+def round_trip_hbm_bytes(preset: str, h: int, w: int, itemsize: int = 2) -> int:
+    """Ideal-fusion HBM bytes moved by a full 3-plane encode+decode of one
+    HxW image (activations only; see _stack_hbm_bytes)."""
+    if preset == "base":
+        ana, syn, ds = _BASE_ANALYSIS, _BASE_SYNTHESIS, 8
+    elif preset == "deep":
+        ana, syn, ds = _DEEP_ANALYSIS, _DEEP_SYNTHESIS, 16
+    else:
+        raise ValueError(preset)
+    a = _stack_hbm_bytes(ana, h, w, 1, False, itemsize)
+    s = _stack_hbm_bytes(syn, h // ds, w // ds, 32, True, itemsize)
+    return 3 * (a + s)
+
+
+# Peak HBM bandwidth GB/s per chip by device_kind substring (public figures:
+# v2 700, v3 900, v4 1228, v5e 819, v5p 2765, v6e/Trillium 1638).
+PEAK_HBM_GBPS = {
+    "v2": 700.0,
+    "v3": 900.0,
+    "v4": 1228.0,
+    "v5 lite": 819.0,
+    "v5litepod": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v5": 2765.0,
+    "v6 lite": 1638.0,
+    "v6e": 1638.0,
+    "v6": 1638.0,
+}
+
+
+def chip_peak_hbm_gbps(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for key in PEAK_HBM_GBPS:
+        if key in kind:
+            return PEAK_HBM_GBPS[key]
+    return None
+
+
 # Dense bf16 peak FLOP/s per chip by device_kind substring. Public figures:
 # v4 275 TF/s, v5e 197, v5p 459, v6e (Trillium) 918, v3 123, v2 46.
 PEAK_BF16_TFLOPS = {

@@ -33,3 +33,18 @@ def test_chip_peak_lookup():
     assert chip_peak_tflops("TPU v4") == 275.0
     assert chip_peak_tflops("TPU v6e") == 918.0
     assert chip_peak_tflops("weird accelerator") is None
+
+
+def test_hbm_bytes_scaling():
+    from neural_network_image_compression_tpu.utils.flops import (
+        round_trip_hbm_bytes,
+    )
+
+    b = round_trip_hbm_bytes("base", 512, 768)
+    assert b > 0
+    # linear in pixel count (all layer sizes scale with the image area)
+    assert abs(round_trip_hbm_bytes("base", 1024, 768) / b - 2.0) < 0.01
+    # f32 moves twice the bytes of bf16
+    assert round_trip_hbm_bytes("base", 512, 768, itemsize=4) == 2 * b
+    # the deep preset adds stride-1 stages -> strictly more traffic
+    assert round_trip_hbm_bytes("deep", 512, 768) > b
