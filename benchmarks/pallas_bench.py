@@ -39,7 +39,8 @@ def timeit(fn, *args):
     try:
         float(run(*args))  # compile+warm
     except Exception as e:  # noqa: BLE001 — report and keep benchmarking
-        print(f"  [config failed: {type(e).__name__}: {str(e).splitlines()[0][:100]}]")
+        msg = (str(e).splitlines() or ["<no message>"])[0][:100]
+        print(f"  [config failed: {type(e).__name__}: {msg}]")
         return None
     t0 = time.perf_counter()
     float(run(*args))

@@ -14,7 +14,8 @@ real, with standard primitives, encrypt-then-MAC and proper key separation:
 Envelope layout (little-endian):
 
     magic   4s  b"NICE"
-    version u8  2   (v1 was a SHA-256-CTR draft, never shipped in artifacts)
+    version u8  2   (v1 was a SHA-256-CTR draft; decrypt() still reads v1
+                     containers via an MAC-disambiguated fallback)
     cipher  u8  1 = chacha20+hmac-sha256
     salt    16s KDF salt (fresh per container)
     nonce   12s ChaCha20 nonce (fresh per container)
@@ -152,6 +153,39 @@ def encrypt(payload: bytes, password: str) -> bytes:
     return head + tag + ciphertext
 
 
+def _decrypt_legacy_v1(blob: bytes, password: str) -> bytes | None:
+    """Decrypt the pre-v2 envelope (MAGIC|salt16|nonce16|cipher|tag32, single
+    PBKDF2 key, SHA-256-CTR keystream). There is no version byte in that
+    format, so it is only recognized by its HMAC actually verifying — which
+    makes misinterpreting a v2 container as v1 (or vice versa)
+    cryptographically impossible. Returns None when the tag does not verify
+    under the legacy scheme."""
+    if len(blob) < 4 + 16 + 16 + 32:
+        return None
+    salt, nonce = blob[4:20], blob[20:36]
+    cipher, tag = blob[36:-32], blob[-32:]
+    key = derive_key(password, salt)
+    if not _hmac.compare_digest(
+        _hmac.new(key, nonce + cipher, hashlib.sha256).digest(), tag
+    ):
+        return None
+
+    def keystream(n: int) -> bytes:
+        out = bytearray()
+        counter = 0
+        while len(out) < n:
+            out += hashlib.sha256(
+                key + nonce + struct.pack("<Q", counter)
+            ).digest()
+            counter += 1
+        return bytes(out[:n])
+
+    return (
+        np.frombuffer(cipher, dtype=np.uint8)
+        ^ np.frombuffer(keystream(len(cipher)), dtype=np.uint8)
+    ).tobytes()
+
+
 def decrypt(blob: bytes, password: str) -> bytes:
     """Verify and unwrap; raises :class:`WrongKeyError` on authentication
     failure, ``ValueError`` on a malformed envelope."""
@@ -160,15 +194,27 @@ def decrypt(blob: bytes, password: str) -> bytes:
     magic, version, cipher, salt, nonce, tag = _HEADER.unpack_from(blob)
     if magic != _MAGIC:
         raise ValueError("not an encrypted container")
-    if version != _VERSION:
-        raise ValueError(f"unsupported encrypted-container version {version}")
-    if cipher != _CIPHER_CHACHA20_HMAC:
-        raise ValueError(f"unknown cipher id {cipher}")
+    if version != _VERSION or cipher != _CIPHER_CHACHA20_HMAC:
+        # Not a (well-formed) v2 envelope. The legacy v1 format had no
+        # version byte (these positions hold random salt bytes), so try it —
+        # its own MAC decides.
+        legacy = _decrypt_legacy_v1(blob, password)
+        if legacy is not None:
+            return legacy
+        raise ValueError(
+            f"unsupported encrypted-container version {version} (or a legacy"
+            " container with a wrong password)"
+        )
     ciphertext = blob[_HEADER.size:]
     enc_key, mac_key = _derive_keys(password, salt)
     head = blob[: _HEADER.size - 32]
     expect = _hmac.new(mac_key, head + ciphertext, hashlib.sha256).digest()
     if not _hmac.compare_digest(expect, tag):
+        # A legacy container whose random salt happens to read as
+        # version=2/cipher=1 lands here; its own MAC disambiguates.
+        legacy = _decrypt_legacy_v1(blob, password)
+        if legacy is not None:
+            return legacy
         raise WrongKeyError(
             "authentication failed (wrong password or corrupted data)"
         )

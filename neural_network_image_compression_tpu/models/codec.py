@@ -203,19 +203,27 @@ class NeuralCodec:
         lat_c = self._apply_analysis(params["analysis_c"], c, column_mask)
         return jnp.concatenate([lat_y, lat_c[:n], lat_c[n:]], axis=3)
 
+    def _pallas_compatible_activation(self) -> bool:
+        """The Pallas kernels fuse the preset's own activation (leaky_relu
+        for 'base', PReLU for 'deep'); any other resolved activation (GDN, or
+        a cross-preset override) routes through the Flax/XLA path."""
+        kind = self.cfg.model.activation
+        if kind == "preset_default":
+            return True
+        native = "prelu" if self.cfg.model.preset == "deep" else "leaky_relu"
+        return kind == native
+
     def _apply_analysis(self, p, x, column_mask=None):
         # 'auto' picks the faster engine per transform (measured on v5e,
         # benchmarks/pallas_bench.py): XLA for analysis (the pallas path pays
         # 32x DMA amplification padding the 1-channel input to 128 lanes),
         # pallas for synthesis (phase-decomposed transposed convs beat XLA's
         # dilated-conv lowering by ~1.2x).
-        # The Pallas kernels fuse the preset's own activation; any activation
-        # override (e.g. GDN) routes through the Flax/XLA path.
-        default_act = (
-            getattr(self.cfg.model, "activation", "preset_default")
-            == "preset_default"
-        )
-        if self.cfg.model.backend == "pallas" and column_mask is None and default_act:
+        if (
+            self.cfg.model.backend == "pallas"
+            and column_mask is None
+            and self._pallas_compatible_activation()
+        ):
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
             if self.cfg.model.preset == "base":
@@ -236,9 +244,7 @@ class NeuralCodec:
                 self.cfg.model.backend == "auto"
                 and self.cfg.model.compute_dtype == "float32"
             )
-        ) and getattr(self.cfg.model, "activation", "preset_default") == (
-            "preset_default"
-        )
+        ) and self._pallas_compatible_activation()
         if use_pallas and column_mask is None:
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 

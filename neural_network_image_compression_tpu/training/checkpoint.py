@@ -20,7 +20,10 @@ from neural_network_image_compression_tpu.training.train_step import TrainState
 
 
 class CheckpointStore:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 2):
+        # 2 = latest + one fallback: exact-resume safety without letting
+        # superseded checkpoint shards accumulate in run directories (they
+        # end up snapshotted into git history at round end).
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(

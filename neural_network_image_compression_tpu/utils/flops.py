@@ -94,13 +94,12 @@ def round_trip_flops(preset: str, h: int, w: int) -> int:
     return 3 * (a + s)
 
 
-def _stack_hbm_bytes(layers, h: int, w: int, cin0: int, transposed_dir: bool,
+def _stack_hbm_bytes(layers, h: int, w: int, transposed_dir: bool,
                      itemsize: int) -> int:
     """Ideal-fusion HBM traffic of one plane through a layer stack: each
     layer reads its input activation once and writes its output once
     (activation/bias fused into the conv epilogue — XLA does this), plus one
     extra read per residual skip. Weights are <0.5 MB total and ignored."""
-    del cin0
     total = 0
     for kind, _k, cin_l, cout, s in layers:
         in_px = h * w
@@ -124,8 +123,8 @@ def round_trip_hbm_bytes(preset: str, h: int, w: int, itemsize: int = 2) -> int:
         ana, syn, ds = _DEEP_ANALYSIS, _DEEP_SYNTHESIS, 16
     else:
         raise ValueError(preset)
-    a = _stack_hbm_bytes(ana, h, w, 1, False, itemsize)
-    s = _stack_hbm_bytes(syn, h // ds, w // ds, 32, True, itemsize)
+    a = _stack_hbm_bytes(ana, h, w, False, itemsize)
+    s = _stack_hbm_bytes(syn, h // ds, w // ds, True, itemsize)
     return 3 * (a + s)
 
 
@@ -146,12 +145,17 @@ PEAK_HBM_GBPS = {
 }
 
 
-def chip_peak_hbm_gbps(device_kind: str) -> float | None:
+def _lookup_by_kind(table: dict, device_kind: str) -> float | None:
+    """Substring match in insertion order (specific keys before generic)."""
     kind = device_kind.lower()
-    for key in PEAK_HBM_GBPS:
+    for key in table:
         if key in kind:
-            return PEAK_HBM_GBPS[key]
+            return table[key]
     return None
+
+
+def chip_peak_hbm_gbps(device_kind: str) -> float | None:
+    return _lookup_by_kind(PEAK_HBM_GBPS, device_kind)
 
 
 # Dense bf16 peak FLOP/s per chip by device_kind substring. Public figures:
@@ -173,8 +177,4 @@ PEAK_BF16_TFLOPS = {
 
 def chip_peak_tflops(device_kind: str) -> float | None:
     """Best-effort peak bf16 TFLOP/s for a jax device_kind string."""
-    kind = device_kind.lower()
-    for key in PEAK_BF16_TFLOPS:  # insertion order: specific before generic
-        if key in kind:
-            return PEAK_BF16_TFLOPS[key]
-    return None
+    return _lookup_by_kind(PEAK_BF16_TFLOPS, device_kind)

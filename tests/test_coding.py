@@ -218,6 +218,37 @@ class TestCrypto:
         with pytest.raises(WrongKeyError):
             decrypt(bytes(blob), "pw")
 
+    def test_legacy_v1_container_still_decrypts(self):
+        """Containers written by the pre-v2 format (no version byte,
+        SHA-256-CTR keystream, single PBKDF2 key) must keep decrypting —
+        recognized purely by their own MAC verifying."""
+        import hashlib
+        import hmac as hmac_mod
+        import struct
+
+        from neural_network_image_compression_tpu.coding.crypto import (
+            decrypt,
+            derive_key,
+        )
+
+        payload = b"legacy latent payload" * 40
+        password = "old-password"
+        salt, nonce = bytes(range(16)), bytes(range(16, 32))
+        key = derive_key(password, salt)
+        stream = bytearray()
+        counter = 0
+        while len(stream) < len(payload):
+            stream += hashlib.sha256(
+                key + nonce + struct.pack("<Q", counter)
+            ).digest()
+            counter += 1
+        cipher = bytes(a ^ b for a, b in zip(payload, stream))
+        tag = hmac_mod.new(key, nonce + cipher, hashlib.sha256).digest()
+        legacy_blob = b"NICE" + salt + nonce + cipher + tag
+        assert decrypt(legacy_blob, password) == payload
+        with pytest.raises(ValueError):
+            decrypt(legacy_blob, "not-the-password")
+
     def test_encrypted_container_end_to_end(self, rng):
         import jax
 

@@ -174,6 +174,23 @@ def test_gdn_cli_and_config_round_trip():
     assert cfg2.model.activation == "gdn"
 
 
+def test_explicit_native_activation_keeps_pallas():
+    """--activation leaky_relu on the base preset IS the preset default;
+    an explicitly requested pallas backend must not silently fall back."""
+    cfg = Config(model=ModelConfig(backend="pallas", activation="leaky_relu"))
+    codec = NeuralCodec(cfg)
+    assert codec._pallas_compatible_activation()
+    cfg2 = Config(
+        model=ModelConfig(preset="deep", backend="pallas", activation="prelu")
+    )
+    assert NeuralCodec(cfg2)._pallas_compatible_activation()
+    # cross-preset override or GDN -> XLA
+    cfg3 = Config(model=ModelConfig(preset="deep", activation="leaky_relu"))
+    assert not NeuralCodec(cfg3)._pallas_compatible_activation()
+    cfg4 = Config(model=ModelConfig(activation="gdn"))
+    assert not NeuralCodec(cfg4)._pallas_compatible_activation()
+
+
 def test_gdn_forces_xla_backend(rng):
     """backend='pallas'/'auto' must not route a GDN model through the fused
     leaky_relu Pallas kernels."""
