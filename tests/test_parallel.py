@@ -188,3 +188,29 @@ def test_tiled_encode_integer_grid_matches_whole_image(rng):
     out_tiled = np.asarray(tiled_decode(codec, params, jnp.asarray(tiled), mesh))
     d = out_tiled.astype(np.int32) - out_whole.astype(np.int32)
     assert int((d != 0).sum()) <= 4 and (np.abs(d).max() <= 1 if (d != 0).any() else True)
+
+
+def test_tiled_encode_gdn_matches_whole_image(rng):
+    """GDN is pointwise across space (GDN(0)=0 commutes with the edge
+    masks), so the halo-exchange tiling must stay tile-count invariant for
+    the gdn activation preset too."""
+    from neural_network_image_compression_tpu.config import (
+        ModelConfig,
+        QuantizerConfig,
+    )
+
+    cfg = Config(
+        model=ModelConfig(clip_latent=False, activation="gdn"),
+        quantizer=QuantizerConfig(grid="integer"),
+    )
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(2), (64, 128))
+    mesh = make_mesh(data=1, spatial=2)
+    rgb = rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8)
+    whole = np.asarray(codec.encode(params, rgb))
+    tiled = np.asarray(tiled_encode(codec, params, jnp.asarray(rgb), mesh))
+    assert tiled.shape == whole.shape
+    diff = tiled.astype(np.int32) - whole.astype(np.int32)
+    mismatch = int((diff != 0).sum())
+    assert mismatch <= 2, f"{mismatch} latent symbols differ from whole-image path"
+    assert np.abs(diff).max() <= 1
