@@ -140,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
                          help="default: config preset's mode (rans; png when "
                               "--reference-faithful)")
     p_train.add_argument("--entropy-context",
-                         choices=["none", "checkerboard", "hyperprior", "joint"],
+                         choices=["none", "checkerboard", "hyperprior",
+                                  "joint", "channel"],
                          default=None, dest="entropy_context",
                          help="conditional rate model "
                               "(default: the config preset's setting)")

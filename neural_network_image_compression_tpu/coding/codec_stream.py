@@ -574,6 +574,149 @@ def decode_latent_joint(codec, params, streams: list[bytes],
     return sym
 
 
+# ------------------------------- channel-wise autoregressive (CHARM) path
+
+
+def _chan_fn(codec):
+    """Jitted (params, sym [1,h,w,3C] uint8) -> (mean, scale)
+    [h,w,3*(C - C/S)] — the channel-context conditionals for channels
+    [C/S:] of each plane, concatenated plane-major.
+
+    Causality makes one compiled program serve both sides: slice s's stack
+    reads only channels [: s*width] of its plane (models/entropy.py
+    ChannelContext), so the decoder can call this on a partially-decoded
+    grid and the parameters for the next undecoded slice are bitwise what
+    the encoder computed (same platform; use codec.deterministic for
+    cross-platform containers)."""
+    fn = getattr(codec, "_chan_coding_fn", None)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        cch = codec.latent_channels
+
+        def f(params, sym):
+            z = sym.astype(jnp.float32)
+            my, sy = codec.channel_params(params, "y", z[..., :cch])
+            zc = jnp.concatenate(
+                [z[..., cch : 2 * cch], z[..., 2 * cch :]], axis=0
+            )
+            mc, sc = codec.channel_params(params, "c", zc)
+            mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
+            scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
+            return mean[0], scale[0]
+
+        fn = jax.jit(f)
+        codec._chan_coding_fn = fn
+    return fn
+
+
+def _chan_mu_idx(codec, params, sym: np.ndarray, det: bool):
+    """(mu, idx) [h,w,3*(C - C/S)] for the channel conditionals."""
+    if det:
+        from neural_network_image_compression_tpu.coding import detnet
+
+        return detnet.det_channel_params(codec, params, sym)
+    mean, scale = _chan_fn(codec)(params, sym[None])
+    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+
+
+def encode_latent_chan(codec, params, sym: np.ndarray, cdf_y, cdf_c,
+                       precision: int,
+                       plane_tables: list | None = None,
+                       engine: str = rans.DEFAULT_ENGINE,
+                       det: bool = False) -> list[bytes]:
+    """[h,w,3C] symbols -> 3*S streams: per plane, the slice-0 stream
+    (factorized CDFs restricted to the first C/S channels — or per-image
+    ``plane_tables``) then one conditional stream per later channel slice
+    (mean-shifted residuals through the scale-indexed Gaussian coder)."""
+    levels = codec.levels
+    cch = codec.latent_channels
+    n_slices = codec.context_y.num_slices
+    width = cch // n_slices
+    cw = cch - width  # conditional channels per plane
+    if plane_tables is not None:
+        tabs = plane_tables
+    else:
+        tabs = tuple(
+            np.ascontiguousarray(t[:width]) for t in (cdf_y, cdf_c, cdf_c)
+        )
+    _, scale_cdfs = _codec_scale_tables(codec)
+    mu_full, idx_full = _chan_mu_idx(codec, params, sym, det)
+    streams: list[bytes] = []
+    for p, table in enumerate(tabs):
+        plane = sym[..., p * cch : (p + 1) * cch]
+        streams.append(
+            rans.stream_encode(
+                np.ascontiguousarray(plane[..., :width]), table, precision,
+                engine,
+            )
+        )
+        for s in range(1, n_slices):
+            sl = plane[..., s * width : (s + 1) * width].astype(np.int64)
+            lo = p * cw + (s - 1) * width
+            mu = mu_full[..., lo : lo + width]
+            idx = idx_full[..., lo : lo + width]
+            wsym = ((sl - mu + levels // 2) % levels).astype(np.uint8)
+            streams.append(
+                rans.stream_encode_indexed(
+                    wsym.reshape(-1, width), idx.reshape(-1, width),
+                    scale_cdfs, precision, engine,
+                )
+            )
+    return streams
+
+
+def decode_latent_chan(codec, params, streams: list[bytes],
+                       lat_hw: tuple[int, int], cdf_y, cdf_c,
+                       precision: int,
+                       plane_tables: list | None = None,
+                       engine: str = rans.DEFAULT_ENGINE,
+                       det: bool = False) -> np.ndarray:
+    """Inverse of :func:`encode_latent_chan` -> [h,w,3C] uint8 symbols.
+
+    S-1 progressive conditional passes, each one dense conv call over the
+    whole grid (all three planes at once) — no spatial autoregression."""
+    levels = codec.levels
+    cch = codec.latent_channels
+    n_slices = codec.context_y.num_slices
+    width = cch // n_slices
+    cw = cch - width
+    h, w = lat_hw
+    if plane_tables is not None:
+        tabs = plane_tables
+    else:
+        tabs = tuple(
+            np.ascontiguousarray(t[:width]) for t in (cdf_y, cdf_c, cdf_c)
+        )
+    _, scale_cdfs = _codec_scale_tables(codec)
+    sym = np.zeros((h, w, 3 * cch), np.uint8)
+    for p, table in enumerate(tabs):
+        flat = rans.stream_decode(
+            streams[p * n_slices], h * w * width, table, precision, engine
+        )
+        sym[..., p * cch : p * cch + width] = flat.reshape(h, w, width)
+    for s in range(1, n_slices):
+        # one conditional-net call per slice: channels [: s*width] of every
+        # plane are decoded, which is all slice s's stacks read
+        mu_full, idx_full = _chan_mu_idx(codec, params, sym, det)
+        for p in range(3):
+            lo = p * cw + (s - 1) * width
+            mu = mu_full[..., lo : lo + width]
+            idx = idx_full[..., lo : lo + width]
+            wsym = rans.stream_decode_indexed(
+                streams[p * n_slices + s], idx.reshape(-1, width),
+                scale_cdfs, precision, engine,
+            )
+            vals = (
+                wsym.reshape(mu.shape).astype(np.int64) - levels // 2 + mu
+            ) % levels
+            sym[..., p * cch + s * width : p * cch + (s + 1) * width] = (
+                vals.astype(np.uint8)
+            )
+    return sym
+
+
 def _png_stream(sym: np.ndarray) -> bytes:
     """Optimized-PNG bytes of the packed 3-plane latent — the reference's
     exact bitstream (reference tf2_0/src/utils.py:38-43), embedded as a
@@ -630,10 +773,13 @@ def compress_symbols(codec, params, sym: np.ndarray,
         codec.cfg.entropy.context == "joint"
         and getattr(codec, "hyper_enc_y", None) is not None
     )
-    ctx = codec.context_y is not None and not joint
+    chan = (
+        codec.cfg.entropy.context == "channel" and codec.context_y is not None
+    )
+    ctx = codec.context_y is not None and not joint and not chan
     hyper = getattr(codec, "hyper_enc_y", None) is not None and not joint
     det_cfg = bool(getattr(codec.cfg.codec, "deterministic", False))
-    det = det_cfg and (ctx or hyper or joint)
+    det = det_cfg and (ctx or hyper or joint or chan)
     # Deterministic containers must be self-describing for EVERY stream that
     # would otherwise be coded with model tables: the factorized CDFs come
     # from a JAX float evaluation (codec.pmf_tables) whose last-ulp results
@@ -692,6 +838,11 @@ def compress_symbols(codec, params, sym: np.ndarray,
         cdf_y, cdf_c = (tables[0], tables[1]) if tables is not None else (None, None)
 
         def encode_with(plane_tables):
+            if chan:
+                return encode_latent_chan(
+                    codec, params, sym, cdf_y, cdf_c, precision, plane_tables,
+                    engine, det=det,
+                )
             if ctx:
                 return encode_latent_ctx(
                     codec, params, sym, cdf_y, cdf_c, precision, plane_tables,
@@ -704,10 +855,17 @@ def compress_symbols(codec, params, sym: np.ndarray,
         def embedded_candidate():
             cch = codec.latent_channels
             amask = _anchor_mask(*sym.shape[:2]) if ctx else None
+            if chan:
+                # only the slice-0 channels are factorized-coded
+                width = cch // codec.context_y.num_slices
+                sel = [
+                    sym[..., p * cch : p * cch + width] for p in range(3)
+                ]
+            else:
+                sel = [sym[..., p * cch : (p + 1) * cch] for p in range(3)]
             plane_tables = [
                 plane_histogram_cdf(
-                    sym[..., p * cch : (p + 1) * cch], codec.levels,
-                    precision, mask=amask,
+                    sel[p], codec.levels, precision, mask=amask,
                 )
                 for p in range(3)
             ]
@@ -728,7 +886,10 @@ def compress_symbols(codec, params, sym: np.ndarray,
                     streams, adaptive = candidate, True
     if mode is None:
         mode = codec.cfg.codec.bitstream
-    if joint:
+    n_slices = codec.context_y.num_slices if chan else 0
+    if chan:
+        passes = n_slices + (1 if adaptive else 0)
+    elif joint:
         passes = 3 + (1 if adaptive else 0)
     else:
         passes = 1 + (1 if (ctx or hyper) else 0) + (1 if adaptive else 0)
@@ -741,6 +902,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
             joint = False
             adaptive = False
             det = False
+            n_slices = 0
     import zlib
 
     header = ContainerHeader(
@@ -757,6 +919,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
         kind=kind,
         hyper=hyper or joint,
         joint=joint,
+        channel_slices=n_slices,
         adaptive=adaptive,
         coder=engine if kind == "rans" else "rans32",
         det=det,
@@ -817,10 +980,12 @@ def decompress_image(codec, params, data: bytes, tables=None,
         )
 
         per = header.passes
-        table_ch = (
-            codec.cfg.entropy.hyper_channels if header.hyper
-            else header.latent_channels
-        )
+        if header.hyper:
+            table_ch = codec.cfg.entropy.hyper_channels
+        elif header.channel_slices:
+            table_ch = header.latent_channels // header.channel_slices
+        else:
+            table_ch = header.latent_channels
         parsed = [
             deserialize_cdf(
                 streams[p * per], table_ch, header.levels, precision,
@@ -838,7 +1003,24 @@ def decompress_image(codec, params, data: bytes, tables=None,
                 cdf_y = cdf_c = plane_tables[0]
     conditional = header.passes - 1 - (1 if header.adaptive else 0)
     engine = header.coder
-    if header.joint:
+    if header.channel_slices:
+        want = (
+            codec.context_y.num_slices
+            if codec.cfg.entropy.context == "channel" and codec.context_y
+            is not None
+            else 0
+        )
+        if want != header.channel_slices:
+            raise ValueError(
+                f"container uses a {header.channel_slices}-slice channel "
+                f"context but the codec is configured with "
+                f"{want or 'no channel context'}"
+            )
+        sym = decode_latent_chan(
+            codec, params, streams, (header.lat_h, header.lat_w),
+            cdf_y, cdf_c, precision, plane_tables, engine, det=header.det,
+        )
+    elif header.joint:
         sym = decode_latent_joint(
             codec, params, streams, (header.lat_h, header.lat_w),
             tables, precision, engine, det=header.det,

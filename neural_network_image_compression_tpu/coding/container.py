@@ -68,7 +68,12 @@ VERSION = 2
 # bit6 joint context (hyperprior + checkerboard): per plane the streams are
 #      [adaptive z table (bit3)] z-stream, anchor-stream (hyper Gaussian),
 #      non-anchor-stream (joint Gaussian) — passes = 3 (+1 with bit3)
-_KNOWN_FLAGS = 0b1111111
+# bit7 channel context (CHARM-style channel-wise autoregression): per plane
+#      the streams are [adaptive table (bit3)] slice-0 stream (factorized)
+#      then one conditional stream per later channel slice — passes =
+#      channel_slices (+1 with bit3). A u8 slice-count field follows sym_crc
+#      when this bit is set.
+_KNOWN_FLAGS = 0b11111111
 
 
 @dataclass
@@ -99,6 +104,10 @@ class ContainerHeader:
                         # use it too, and may run on any platform
     joint: bool = False # joint context (flag bit6): z + anchor + non-anchor
                         # streams per plane (see module docstring)
+    channel_slices: int = 0  # >0 = channel context (flag bit7): slice-0
+                             # factorized stream + per-slice conditional
+                             # streams; value is the slice count S
+                             # (passes = S + adaptive)
 
 
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
@@ -114,7 +123,20 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
     else:
         flags = 0
         conditional = header.passes - 1 - (1 if header.adaptive else 0)
-        if header.joint:
+        if header.channel_slices:
+            if header.channel_slices < 2 or header.channel_slices > 255:
+                raise ValueError("channel_slices must be in [2, 255]")
+            if conditional != header.channel_slices - 1:
+                raise ValueError(
+                    "channel containers carry a slice-0 pass plus one "
+                    "conditional pass per later slice"
+                )
+            if header.hyper or header.joint:
+                raise ValueError(
+                    "channel context excludes hyper/joint stream layouts"
+                )
+            flags |= 128
+        elif header.joint:
             if conditional != 2:
                 raise ValueError(
                     "joint containers carry z + anchor + non-anchor passes"
@@ -139,7 +161,7 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
         elif header.coder != "rans32":
             raise ValueError(f"unknown coder {header.coder!r}")
         if header.det:
-            if conditional not in (1, 2):
+            if conditional < 1:
                 raise ValueError("det applies only to conditional containers")
             flags |= 32
     parts = [
@@ -160,6 +182,8 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
             header.sym_crc & 0xFFFFFFFF,
         ),
     ]
+    if header.kind != "png" and header.channel_slices:
+        parts.append(struct.pack("<B", header.channel_slices))
     parts.extend(struct.pack("<I", len(s)) for s in streams)
     parts.extend(streams)
     return b"".join(parts)
@@ -194,8 +218,13 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
     if version >= 2:
         (sym_crc,) = struct.unpack_from("<I", data, pos)
         pos += 4
+    channel_slices = 0
     if flags & 1:
         passes = 1
+    elif flags & 128:
+        (channel_slices,) = struct.unpack_from("<B", data, pos)
+        pos += 1
+        passes = channel_slices + (1 if flags & 8 else 0)
     elif flags & 64:
         passes = 3 + (1 if flags & 8 else 0)
     else:
@@ -228,5 +257,6 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         coder="rans64" if flags & 16 else "rans32",
         det=bool(flags & 32),
         joint=bool(flags & 64),
+        channel_slices=channel_slices,
     )
     return header, streams

@@ -81,8 +81,17 @@ class EntropyConfig:
     # mode's static factorized tables), non-anchors with a context net over
     # [decoded anchors ++ raw hyper features] — strictly more information
     # than either model alone.
-    context: str = "none"    # 'none' | 'checkerboard' | 'hyperprior' | 'joint'
+    # 'channel': CHARM-style channel-wise autoregression (models/entropy.py
+    # ChannelContext) — slice 0 factorized, later channel slices coded with a
+    # Gaussian predicted from the already-coded slices. No transmitted side
+    # info and no hyper net (whose patch-fit conditionals lose on Kodak —
+    # RESULTS.md r2/r3 findings); decode is `channel_slices` dense conv
+    # passes, all spatially parallel.
+    context: str = "none"    # 'none' | 'checkerboard' | 'hyperprior'
+                             # | 'joint' | 'channel'
     context_hidden: int = 96             # conv width of the context/hyper nets
+    channel_slices: int = 4              # channel-context slice count
+                                         # (latent_channels must divide by it)
     hyper_channels: int = 16             # hyper latent channels (z)
     scale_bins: int = 64                 # conditional-Gaussian CDF rows
     scale_min: float = 0.11              # sigma range (symbol units)

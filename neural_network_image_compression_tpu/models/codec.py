@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from neural_network_image_compression_tpu.config import Config
 from neural_network_image_compression_tpu.models.autoencoder import make_transforms
 from neural_network_image_compression_tpu.models.entropy import (
+    ChannelContext,
     CheckerboardContext,
     EntropyRegressor,
     FactorizedEntropyModel,
@@ -128,6 +129,25 @@ class NeuralCodec:
             )
             self.context_y = mk()
             self.context_c = mk()
+        if cfg.entropy.kind == "factorized" and cfg.entropy.context == "channel":
+            slices = getattr(cfg.entropy, "channel_slices", 4)
+            if self.latent_channels % slices:
+                raise ValueError(
+                    f"latent_channels {self.latent_channels} must be divisible"
+                    f" by entropy.channel_slices {slices}"
+                )
+            mk_ch = lambda: ChannelContext(
+                channels=self.latent_channels,
+                num_slices=slices,
+                hidden=cfg.entropy.context_hidden,
+                levels=self.levels,
+                scale_min=cfg.entropy.scale_min,
+                scale_max=cfg.entropy.scale_max,
+                mean_span=self._ctx_mean_span,
+                scale_init=self._ctx_scale_init,
+            )
+            self.context_y = mk_ch()
+            self.context_c = mk_ch()
 
     # ------------------------------------------------------------------ init
 
@@ -330,17 +350,41 @@ class NeuralCodec:
         plane batch, computed from its anchor positions only. ``which`` is
         'y' or 'c' (Cb and Cr share the 'c' net, like the transforms)."""
         mod = self.context_y if which == "y" else self.context_c
-        if mod is None:
+        if mod is None or isinstance(mod, ChannelContext):
             raise TypeError("context_params requires entropy.context='checkerboard'")
         return mod.apply(
             {"params": params[f"context_{which}"]}, self._context_input(z_sym)
+        )
+
+    def _norm_latent(self, z_sym: jnp.ndarray) -> jnp.ndarray:
+        """Normalize symbol-grid values to ~unit range WITHOUT spatial
+        masking (the channel context conditions on whole already-coded
+        channel slices at every position)."""
+        if self.grid == "integer":
+            return (z_sym - self.levels // 2) / self._density_span
+        return (z_sym / (self.levels - 1) - 0.5) * 2.0
+
+    def channel_params(self, params: Params, which: str,
+                       z_sym: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Channel-context conditional Gaussian (mean, scale)
+        [M,h,w,C - C/slices] in symbol units, covering channels
+        [C/slices:]. Slice s's stack reads only channels [: s*width], so
+        calling this on a partially-decoded grid yields exact parameters for
+        the next undecoded slice (models/entropy.py ChannelContext)."""
+        mod = self.context_y if which == "y" else self.context_c
+        if not isinstance(mod, ChannelContext):
+            raise TypeError("channel_params requires entropy.context='channel'")
+        return mod.apply(
+            {"params": params[f"context_{which}"]}, self._norm_latent(z_sym)
         )
 
     def plane_bits(self, params: Params, which: str,
                    z_sym: jnp.ndarray) -> jnp.ndarray:
         """Differentiable bits [M,h,w,C] for one plane batch in symbol units:
         factorized everywhere when context='none'; with the checkerboard
-        context, factorized at anchors + conditional Gaussian elsewhere."""
+        context, factorized at anchors + conditional Gaussian elsewhere; with
+        the channel context, factorized on slice 0 + conditional Gaussian on
+        the remaining channel slices."""
         ent = self.entropy_y if which == "y" else self.entropy_c
         bits_f = ent.apply({"params": params[f"entropy_{which}"]}, z_sym)
         if self.context_y is None:
@@ -351,6 +395,13 @@ class NeuralCodec:
                 "is conditionally coded and needs the transmitted hyper "
                 "latent); use plane_rate_bits"
             )
+        if self.cfg.entropy.context == "channel":
+            width = self.latent_channels // self.context_y.num_slices
+            mean, scale = self.channel_params(params, which, z_sym)
+            bits_cond = conditional_gaussian_bits(
+                z_sym[..., width:], mean, scale
+            )
+            return jnp.concatenate([bits_f[..., :width], bits_cond], axis=-1)
         mask = checkerboard_mask(z_sym.shape[1], z_sym.shape[2], z_sym.dtype)
         mean, scale = self.context_params(params, which, z_sym)
         bits_ctx = conditional_gaussian_bits(z_sym, mean, scale)

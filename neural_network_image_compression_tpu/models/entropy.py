@@ -232,3 +232,68 @@ def conditional_gaussian_bits(z_sym: jnp.ndarray, mean: jnp.ndarray,
     lower = jax.scipy.special.ndtr(-half - jnp.abs(d))
     likelihood = jnp.maximum(upper - lower, LIKELIHOOD_FLOOR)
     return -jnp.log2(likelihood)
+
+
+class ChannelContext(nn.Module):
+    """Channel-wise autoregressive conditional (CHARM-style, Minnen &
+    Singh 2020 — PAPERS.md "Channel-wise Autoregressive Entropy Models").
+
+    The latent's C channels split into ``num_slices`` equal slices coded in
+    order: slice 0 with the factorized density (+ optional per-image adaptive
+    tables), every later slice s with a Gaussian whose (mean, scale) a small
+    conv stack predicts from ALL spatial positions of the already-coded
+    slices ``[:start_s]``. Complementary to the checkerboard (which sees all
+    channels of neighbouring positions but nothing of the current one) and —
+    unlike the hyperprior — transmits no side information and has no
+    patch-statistics-sensitive hyper net (the r2/r3 finding: hyper-side
+    conditioning overfits 128x128 training patches and loses on Kodak).
+
+    TPU notes: no spatial autoregression — decode is ``num_slices`` dense
+    conv passes, each fully parallel over the grid; encode is a single pass.
+    Input: the full normalized latent grid [M,h,w,C]; slice s's stack reads
+    only its causal prefix ``x[..., :start_s]``, so running the module on a
+    partially-decoded grid yields exact outputs for the next slice while
+    later slices' outputs are ignored (this is what makes one compact
+    __call__ serve both the one-shot encoder and the progressive decoder
+    with identical parameters).
+
+    Returns (mean, scale) [M,h,w,C - C/num_slices] in symbol units, covering
+    channels ``[C/num_slices:]`` (slice 0 has no conditional).
+    """
+
+    channels: int
+    num_slices: int = 4
+    hidden: int = 96
+    levels: int = 256
+    scale_min: float = 0.11
+    scale_max: float = 256.0
+    mean_span: float = 127.5
+    scale_init: float = 64.0
+
+    @nn.compact
+    def __call__(self, z_norm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self.channels % self.num_slices:
+            raise ValueError(
+                f"latent channels {self.channels} not divisible by "
+                f"num_slices {self.num_slices}"
+            )
+        width = self.channels // self.num_slices
+        act = lambda v: nn.leaky_relu(v, negative_slope=0.2)
+        means, scales = [], []
+        center = (self.levels - 1) / 2.0
+        for s in range(1, self.num_slices):
+            x = z_norm[..., : s * width]
+            x = act(nn.Conv(self.hidden, (5, 5), padding="SAME",
+                            name=f"cc{s}_1")(x))
+            x = act(nn.Conv(self.hidden, (3, 3), padding="SAME",
+                            name=f"cc{s}_2")(x))
+            raw = nn.Conv(2 * width, (3, 3), padding="SAME", name=f"cc{s}_3",
+                          kernel_init=nn.initializers.zeros)(x)
+            mean_off, raw_scale = jnp.split(raw, 2, axis=-1)
+            means.append(center + mean_off * self.mean_span)
+            scales.append(jnp.clip(
+                jax.nn.softplus(raw_scale + _softplus_inv(self.scale_init)),
+                self.scale_min,
+                self.scale_max,
+            ))
+        return jnp.concatenate(means, axis=-1), jnp.concatenate(scales, axis=-1)
