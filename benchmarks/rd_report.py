@@ -27,6 +27,9 @@ def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None,
         load_image,
         png_num_bytes,
     )
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        jitted_codec_fns,
+    )
     from neural_network_image_compression_tpu.evaluation.pipelines import rd_point
     from neural_network_image_compression_tpu.ops import pack_planes
 
@@ -52,7 +55,7 @@ def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None,
         img = load_image(os.path.join(val_dir, name))
         if img is None:
             continue
-        sym = np.asarray(codec.encode(params, img[None]))
+        sym = np.asarray(jitted_codec_fns(codec)[0](params, img[None]))
         packed = np.asarray(pack_planes(jnp.asarray(sym)))[0]
         png_bpps.append(
             8.0 * png_num_bytes(packed) / (img.shape[0] * img.shape[1])

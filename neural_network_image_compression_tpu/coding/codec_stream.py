@@ -19,6 +19,29 @@ from neural_network_image_compression_tpu.coding.container import (
 )
 
 
+def jitted_codec_fns(codec):
+    """Per-codec cached jitted (encode, decode) callables.
+
+    Every model evaluation on the coding path MUST go through these: eager
+    per-primitive dispatch is not only slow, it compiles hundreds of tiny
+    one-op programs, which wedged the axon-TPU compile service on GDN eval
+    graphs (round-3 rd_report stall — the hang was a bare
+    ``convert_element_type`` inside an un-jitted ``codec.decode``).
+    Shares the ``_jit_eval_fns`` cache attribute with
+    evaluation/pipelines.py so each codec instance compiles each shape once.
+    """
+    fns = getattr(codec, "_jit_eval_fns", None)
+    if fns is None:
+        import jax
+
+        fns = (
+            jax.jit(codec.encode),
+            jax.jit(codec.decode, static_argnames="out_hw"),
+        )
+        codec._jit_eval_fns = fns
+    return fns
+
+
 def build_tables(codec, params, precision: int | None = None) -> tuple:
     """Quantized CDF tables from the codec's factorized model(s).
 
@@ -746,7 +769,8 @@ def compress_image(codec, params, rgb_u8: np.ndarray, tables=None,
     With ``password``, the container is wrapped in the authenticated stream
     cipher from coding/crypto.py (the reference's advertised-but-missing
     encryption capability)."""
-    sym = np.asarray(codec.encode(params, rgb_u8[None]))[0]
+    encode_fn, _ = jitted_codec_fns(codec)
+    sym = np.asarray(encode_fn(params, rgb_u8[None]))[0]
     return compress_symbols(
         codec, params, sym, rgb_u8.shape[:2], tables=tables,
         password=password, mode=mode,
@@ -958,7 +982,8 @@ def decompress_image(codec, params, data: bytes, tables=None,
         packed = np.asarray(Image.open(io.BytesIO(streams[0])))
         sym = np.asarray(unpack_planes(packed[None].astype(np.int32)))[0]
         sym = sym.astype(np.uint8)
-        rgb = codec.decode(
+        _, decode_fn = jitted_codec_fns(codec)
+        rgb = decode_fn(
             params, sym[None], out_hw=(header.orig_h, header.orig_w)
         )
         return np.asarray(rgb)[0]
@@ -1052,5 +1077,6 @@ def decompress_image(codec, params, data: bytes, tables=None,
                 "different symbols than the encoder wrote (two-pass context "
                 "decode requires the same numeric platform as encode)"
             )
-    rgb = codec.decode(params, sym[None], out_hw=(header.orig_h, header.orig_w))
+    _, decode_fn = jitted_codec_fns(codec)
+    rgb = decode_fn(params, sym[None], out_hw=(header.orig_h, header.orig_w))
     return np.asarray(rgb)[0]

@@ -83,7 +83,8 @@ def compress_directory(
                 f.write(blob)
             num_bytes = len(blob)
         elif mode == "png":
-            sym = np.asarray(codec.encode(params, img[None]))
+            encode_fn, _ = _jitted_codec_fns(codec)
+            sym = np.asarray(encode_fn(params, img[None]))
             packed = np.asarray(pack_planes(jnp.asarray(sym)))[0]
             num_bytes = save_png(packed, os.path.join(output_dir, stem + ".png"))
             shape_index[stem] = [int(img.shape[0]), int(img.shape[1])]
@@ -159,7 +160,10 @@ def decompress_directory(
                 out_hw = tuple(orig_shapes[stem])
             elif stem in shape_index:
                 out_hw = shape_index[stem]
-            rgb = np.asarray(codec.decode(params, sym, out_hw=out_hw))[0]
+            _, decode_fn = _jitted_codec_fns(codec)
+            rgb = np.asarray(
+                decode_fn(params, jnp.asarray(sym), out_hw=tuple(out_hw))
+            )[0]
         else:
             continue
         out_path = os.path.join(output_dir, stem + ".png")
@@ -195,12 +199,14 @@ def evaluate_directories(dir_a: str, dir_b: str) -> dict:
 
 def _jitted_codec_fns(codec):
     """Per-codec cached jitted encode/decode (jit's own cache handles new
-    shapes; one callable per codec instance avoids retracing per call)."""
-    fns = getattr(codec, "_jit_eval_fns", None)
-    if fns is None:
-        fns = (jax.jit(codec.encode), jax.jit(codec.decode, static_argnames="out_hw"))
-        codec._jit_eval_fns = fns
-    return fns
+    shapes; one callable per codec instance avoids retracing per call).
+    Canonical implementation lives in coding/codec_stream.py so the
+    bitstream paths share the same cache."""
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        jitted_codec_fns,
+    )
+
+    return jitted_codec_fns(codec)
 
 
 def rd_point_batched(codec, params, val_dir: str, tables=None,
@@ -304,6 +310,7 @@ def rd_point(codec, params, val_dir: str, tables=None) -> dict:
     mode = codec.cfg.codec.bitstream
     if mode in ("rans", "auto") and tables is None:
         tables = build_tables(codec, params)
+    encode_fn, decode_fn = _jitted_codec_fns(codec)
     rows = []
     for name in list_images(val_dir):
         img = load_image(os.path.join(val_dir, name))
@@ -315,11 +322,11 @@ def rd_point(codec, params, val_dir: str, tables=None) -> dict:
             num_bytes = len(blob)
             recon = decompress_image(codec, params, blob, tables)
         else:
-            sym = np.asarray(codec.encode(params, img[None]))
+            sym = np.asarray(encode_fn(params, img[None]))
             packed = np.asarray(pack_planes(jnp.asarray(sym)))[0]
             num_bytes = png_num_bytes(packed)
             recon = np.asarray(
-                codec.decode(params, sym, out_hw=img.shape[:2])
+                decode_fn(params, jnp.asarray(sym), out_hw=img.shape[:2])
             )[0]
         aj = jnp.asarray(img[None], jnp.float32)
         bj = jnp.asarray(recon[None], jnp.float32)

@@ -250,7 +250,11 @@ class Trainer:
             if names:
                 img = load_image(_os.path.join(cfg.data.val_dir, names[0]))
                 params = jax.device_get(state.params)
-                sym = self.codec.encode(params, img[None])
+                from neural_network_image_compression_tpu.coding.codec_stream import (
+                    jitted_codec_fns,
+                )
+
+                sym = jitted_codec_fns(self.codec)[0](params, img[None])
                 ent = float(discrete_entropy(dequantize(sym))[0])
                 if ent > cfg.train.gate_max_entropy:
                     self._log({"kind": "gate_reject", "reason": "entropy",
@@ -304,9 +308,14 @@ class Trainer:
         if not names:
             return
         img = load_image(os.path.join(self.cfg.data.val_dir, names[0]))
-        sym = _np.asarray(self.codec.encode(params, img[None]))[0]
+        from neural_network_image_compression_tpu.coding.codec_stream import (
+            jitted_codec_fns,
+        )
+
+        encode_fn, decode_fn = jitted_codec_fns(self.codec)
+        sym = _np.asarray(encode_fn(params, img[None]))[0]
         recon = _np.asarray(
-            self.codec.decode(params, sym[None], out_hw=img.shape[:2])
+            decode_fn(params, jnp.asarray(sym[None]), out_hw=img.shape[:2])
         )[0]
         art_dir = os.path.join(self.run_dir, "val_artifacts")
         save_png(latent_visualization(sym), os.path.join(art_dir, "val_encoded.png"),
