@@ -69,36 +69,53 @@ def check_pallas_compiled_parity() -> dict:
     return {"max_diff": max_diff, "flip_frac": flip_frac}
 
 
-def measure_tpu() -> dict:
+def measure_tpu(model: str = "gdn") -> dict:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from neural_network_image_compression_tpu.config import Config, ModelConfig
     from neural_network_image_compression_tpu.models import NeuralCodec
 
-    cfg = Config(model=ModelConfig(compute_dtype="bfloat16", backend="auto"))  # auto==xla in bf16
+    if model == "gdn":
+        # The flagship codec (RESULTS.md §7.4): GDN transforms on the
+        # unbounded integer symbol grid — the configuration whose R-D curve
+        # leads every measured sweep. bench measures ITS serving throughput.
+        from neural_network_image_compression_tpu.config import tpu_native
+
+        cfg = tpu_native()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, activation="gdn")
+        )
+    else:
+        cfg = Config(model=ModelConfig(compute_dtype="bfloat16", backend="auto"))  # auto==xla in bf16
+    activation = cfg.model.activation
     codec = NeuralCodec(cfg)
     params = codec.init(jax.random.key(0), (H, W))
     rgb = np.random.default_rng(0).integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8)
     rgb = jax.device_put(rgb)
 
-    # One dispatch running ITERS forwards via lax.scan, reduced to a scalar
-    # checksum. The per-iteration input perturbation stops XLA hoisting the
-    # loop-invariant forward out of the scan; fetching the scalar (not
-    # block_until_ready, which this platform's async tunnel satisfies at
-    # enqueue time) is what guarantees execution completed.
+    # ITERS async dispatches of one jitted forward, reduced to a scalar
+    # checksum each; only the LAST scalar is fetched, so dispatches pipeline
+    # (fetching a scalar — not block_until_ready, which this platform's async
+    # tunnel satisfies at enqueue time — is what guarantees execution
+    # completed). A python loop, NOT lax.scan: the axon compiler stalls
+    # indefinitely on scan-wrapped GDN round-trip graphs (same pathology as
+    # the r3 rd_report stall), while the single-forward graph compiles in
+    # seconds. The per-iteration input perturbation keeps iterations
+    # distinct; at serving batch sizes dispatch overhead is amortized.
     @jax.jit
-    def run(p, x):
-        def body(carry, i):
-            out = codec.forward(p, x + i.astype(jnp.uint8))
-            return carry + out.astype(jnp.float32).mean(), None
+    def run(p, x, i):
+        out = codec.forward(p, x + i.astype(jnp.uint8))
+        return out.astype(jnp.float32).mean()
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(ITERS))
-        return total
-
-    float(run(params, rgb))  # compile + warm
+    float(run(params, rgb, jnp.uint8(0)))  # compile + warm
     t0 = time.perf_counter()
-    float(run(params, rgb))
+    last = None
+    for i in range(ITERS):
+        last = run(params, rgb, jnp.uint8(i))
+    float(last)
     dt = time.perf_counter() - t0
     rate = BATCH * ITERS / dt
 
@@ -111,7 +128,7 @@ def measure_tpu() -> dict:
         round_trip_hbm_bytes,
     )
 
-    flops_per_image = round_trip_flops("base", H, W)
+    flops_per_image = round_trip_flops("base", H, W, activation)
     achieved = rate * flops_per_image / 1e12
     kind = jax.devices()[0].device_kind
     peak = chip_peak_tflops(kind)
@@ -131,6 +148,7 @@ def measure_tpu() -> dict:
         else:
             bound = "mxu" if mfu >= bw_util else "hbm"
     return {
+        "model": f"{cfg.model.preset}-{activation}-{cfg.quantizer.grid}",
         "images_per_s": rate,
         "gflop_per_image": flops_per_image / 1e9,
         "achieved_tflops": achieved,
@@ -230,8 +248,9 @@ def measure_torch_baseline() -> float:
 
 
 def main():
+    model = os.environ.get("BENCH_MODEL", "gdn")
     parity = check_pallas_compiled_parity()
-    stats = measure_tpu()
+    stats = measure_tpu(model)
     base_rate = measure_torch_baseline()
     print(
         json.dumps(
@@ -240,11 +259,14 @@ def main():
                 "value": round(stats["images_per_s"], 2),
                 "unit": "images/s",
                 "vs_baseline": round(stats["images_per_s"] / base_rate, 2),
+                "model": stats["model"],
                 "gflop_per_image": round(stats["gflop_per_image"], 2),
                 "achieved_tflops": round(stats["achieved_tflops"], 2),
-                "mfu": round(stats["mfu"], 4) if stats["mfu"] else None,
+                "mfu": round(stats["mfu"], 4) if stats["mfu"] is not None else None,
                 "hbm_util": (
-                    round(stats["hbm_util"], 4) if stats["hbm_util"] else None
+                    round(stats["hbm_util"], 4)
+                    if stats["hbm_util"] is not None
+                    else None
                 ),
                 "bound": stats["bound"],
                 "device_kind": stats["device_kind"],

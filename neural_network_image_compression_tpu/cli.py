@@ -105,6 +105,7 @@ def _build_config(args) -> "Config":
                 else cfg.train.rd_lambda_step
             ),
             distortion=args.distortion,
+            mosaic=getattr(args, "mosaic", None) or cfg.train.mosaic,
             freeze_transforms=getattr(args, "freeze_transforms", False),
             **(
                 {"val_every_steps": args.val_every_steps}
@@ -158,6 +159,10 @@ def main(argv: list[str] | None = None) -> int:
                          default=None,
                          help="decoder-side quantization surrogate "
                               "(default: the config preset's)")
+    p_train.add_argument("--mosaic", type=int, default=None,
+                         help="G>1: train on GxG patch mosaics ((G*128)^2 "
+                              "crops) — larger-crop training for hyper-side "
+                              "context generalization")
     p_train.add_argument("--max-steps", type=int, default=None)
     p_train.add_argument("--val-every-steps", type=int, default=None,
                          dest="val_every_steps",
@@ -221,7 +226,13 @@ def main(argv: list[str] | None = None) -> int:
     p_anchor.add_argument("--qualities", default="10,25,50,75,90")
 
     p_build = sub.add_parser("build-data", help="build a training patch set")
-    p_build.add_argument("--source", required=True)
+    src = p_build.add_mutually_exclusive_group(required=True)
+    src.add_argument("--source", default=None,
+                     help="local image directory source")
+    src.add_argument("--url-list", default=None, dest="url_list",
+                     help="URL-list file (fall11_urls '<id>\\t<url>' lines "
+                          "or bare URLs; file:// works) — the reference's "
+                          "ImageNet crawl path (imagenet_download.ipynb)")
     p_build.add_argument("--output", required=True)
     p_build.add_argument("--patch-size", type=int, default=128)
     p_build.add_argument("--limit", type=int, default=None)
@@ -323,12 +334,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "build-data":
-        from neural_network_image_compression_tpu.data.builder import build_patches
+        if args.url_list:
+            from neural_network_image_compression_tpu.data.builder import (
+                build_patches_from_urls,
+            )
 
-        n = build_patches(
-            args.source, args.output, patch_size=args.patch_size,
-            limit=args.limit, workers=args.workers,
-        )
+            n = build_patches_from_urls(
+                args.url_list, args.output, patch_size=args.patch_size,
+                limit=args.limit, workers=args.workers,
+            )
+        else:
+            from neural_network_image_compression_tpu.data.builder import (
+                build_patches,
+            )
+
+            n = build_patches(
+                args.source, args.output, patch_size=args.patch_size,
+                limit=args.limit, workers=args.workers,
+            )
         print(f"wrote {n} patches to {args.output}")
         return 0
 

@@ -131,6 +131,10 @@ class TrainConfig:
                                          # (tf2_0/src/training.py:119); set it
                                          # explicitly for faithful mode.
     distortion: str = "ssim"             # 'ssim' | 'ms_ssim' | 'mse'
+    mosaic: int = 1                      # G>1: train on GxG patch mosaics
+                                         # ((G*128)^2 crops) — the larger-crop
+                                         # lever for hyper-side context
+                                         # generalization (RESULTS.md §7.2)
     augment_flips: bool = True           # random H/V flips (training.py:77-78)
     val_every_steps: int = 100           # reference validates every 10 steps
     checkpoint_every_steps: int = 500
@@ -142,6 +146,9 @@ class TrainConfig:
     gate_max_entropy: float | None = None    # bits/symbol of rounded latent
     gate_min_ms_ssim: float | None = None    # validation MS-SSIM floor
     profile_dir: str | None = None           # jax.profiler trace output
+    tensorboard: bool = True                 # event files under <run>/tb
+                                             # (reference tf1_13/src/
+                                             # training.py:163-164)
     val_artifacts: bool = True               # dump side-by-side + latent viz
     freeze_transforms: bool = False          # train only the rate side (entropy
                                              # + context nets); use with a

@@ -110,6 +110,17 @@ class Trainer:
         with open(os.path.join(self.run_dir, "config.json"), "w") as f:
             f.write(cfg.to_json())
 
+        # TensorBoard scalar summaries next to metrics.jsonl (capability
+        # parity with reference tf1_13/src/training.py:163-164; zero-dep
+        # writer — utils/tensorboard.py).
+        self._tb = None
+        if self._is_lead and getattr(cfg.train, "tensorboard", True):
+            from neural_network_image_compression_tpu.utils.tensorboard import (
+                SummaryWriter,
+            )
+
+            self._tb = SummaryWriter(os.path.join(self.run_dir, "tb"))
+
     # ------------------------------------------------------------------ utils
 
     def _log(self, record: dict) -> None:
@@ -117,6 +128,18 @@ class Trainer:
             return
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            prefix = "val" if record.get("kind") == "validation" else "train"
+            self._tb.scalars(
+                int(record.get("step", 0)),
+                {
+                    f"{prefix}/{k}": v
+                    for k, v in record.items()
+                    if isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and k not in ("step", "epoch")
+                },
+            )
 
     def init_state(self) -> TrainState:
         state = init_train_state(self.codec, jax.random.key(self.cfg.train.seed), self.cfg)
@@ -136,7 +159,10 @@ class Trainer:
         cfg = self.cfg
         if train_images is None:
             train_images = _cached_dataset(cfg.data.train_dir)
-        dataset = PatchDataset(train_images, cfg.train.batch_size, cfg.train.seed)
+        dataset = PatchDataset(
+            train_images, cfg.train.batch_size, cfg.train.seed,
+            mosaic=getattr(cfg.train, "mosaic", 1),
+        )
 
         state = self.init_state()
         if init_from and not resume:

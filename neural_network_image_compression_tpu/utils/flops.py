@@ -73,9 +73,29 @@ def _stack_flops(layers, h: int, w: int, transposed_dir: bool) -> int:
     return total
 
 
-def plane_flops(preset: str, h: int, w: int) -> tuple[int, int]:
+def _gdn_flops(layers, h: int, w: int, transposed_dir: bool) -> int:
+    """Extra FLOPs of (I)GDN between stages: each non-final activation site
+    computes the channel mix ``sum_j gamma_ij x_j^2`` — a CxC matmul over the
+    stage's output grid, 2*C*C*H*W FLOPs (models/layers.py GDN). The final
+    stage of each transform is linear (no GDN)."""
+    total = 0
+    sized = []
+    for kind, _k, _cin, cout, s in layers:
+        if kind == "T":
+            h, w = h * s, w * s
+        elif not transposed_dir:
+            h, w = -(-h // s), -(-w // s)
+        sized.append((cout, h, w))
+    for cout, hh, ww in sized[:-1]:  # final stage stays linear
+        total += 2 * cout * cout * hh * ww
+    return total
+
+
+def plane_flops(preset: str, h: int, w: int,
+                activation: str = "preset_default") -> tuple[int, int]:
     """(analysis_flops, synthesis_flops) for ONE colour plane of an HxW
-    image. ``h``, ``w`` are the (padded) image dims."""
+    image. ``h``, ``w`` are the (padded) image dims. ``activation='gdn'``
+    adds the divisive-normalization channel-mix matmuls."""
     if preset == "base":
         ana, syn, ds = _BASE_ANALYSIS, _BASE_SYNTHESIS, 8
     elif preset == "deep":
@@ -84,13 +104,17 @@ def plane_flops(preset: str, h: int, w: int) -> tuple[int, int]:
         raise ValueError(preset)
     a = _stack_flops(ana, h, w, transposed_dir=False)
     s = _stack_flops(syn, h // ds, w // ds, transposed_dir=True)
+    if activation == "gdn":
+        a += _gdn_flops(ana, h, w, transposed_dir=False)
+        s += _gdn_flops(syn, h // ds, w // ds, transposed_dir=True)
     return a, s
 
 
-def round_trip_flops(preset: str, h: int, w: int) -> int:
+def round_trip_flops(preset: str, h: int, w: int,
+                     activation: str = "preset_default") -> int:
     """Total conv FLOPs of a full 3-plane encode+decode of one HxW image
     (Y + Cb + Cr all run both transforms)."""
-    a, s = plane_flops(preset, h, w)
+    a, s = plane_flops(preset, h, w, activation)
     return 3 * (a + s)
 
 

@@ -150,3 +150,154 @@ class TestPngProxy:
             packed = sym[i].reshape(32, 64, 1)
             expected = 8.0 * png_num_bytes(packed) / (64 * 64)
             assert abs(bpp[i, 0] - expected) < 1e-5
+
+
+class TestTensorboard:
+    """utils/tensorboard.py: zero-dep event files readable by the REAL
+    TensorBoard reader (capability parity with reference
+    tf1_13/src/training.py:163-164 scalar summaries)."""
+
+    def test_event_file_read_back_by_tensorboard(self, tmp_path):
+        from neural_network_image_compression_tpu.utils.tensorboard import (
+            SummaryWriter,
+        )
+
+        w = SummaryWriter(str(tmp_path))
+        w.scalars(1, {"loss": 0.5, "bpp_y": 1.25})
+        w.scalars(2, {"loss": 0.25, "skipme": "str"})
+        w.close()
+        ea = pytest.importorskip(
+            "tensorboard.backend.event_processing.event_accumulator"
+        )
+        acc = ea.EventAccumulator(str(tmp_path))
+        acc.Reload()
+        assert set(acc.Tags()["scalars"]) == {"loss", "bpp_y"}
+        assert [(e.step, e.value) for e in acc.Scalars("loss")] == [
+            (1, 0.5),
+            (2, 0.25),
+        ]
+
+    def test_convert_jsonl(self, tmp_path):
+        from neural_network_image_compression_tpu.utils.tensorboard import (
+            convert_jsonl,
+        )
+
+        p = tmp_path / "metrics.jsonl"
+        p.write_text(
+            json.dumps({"loss": 1.0, "step": 5, "epoch": 0}) + "\n"
+            + json.dumps(
+                {"kind": "validation", "mean_bpp": 2.0, "step": 5, "epoch": 0}
+            ) + "\n"
+        )
+        path = convert_jsonl(str(p))
+        assert os.path.exists(path)
+        ea = pytest.importorskip(
+            "tensorboard.backend.event_processing.event_accumulator"
+        )
+        acc = ea.EventAccumulator(os.path.dirname(path))
+        acc.Reload()
+        assert "train/loss" in acc.Tags()["scalars"]
+        assert "val/mean_bpp" in acc.Tags()["scalars"]
+
+    def test_crc32c_known_vectors(self):
+        from neural_network_image_compression_tpu.utils.tensorboard import crc32c
+
+        # RFC 3720 / kernel test vectors
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+
+
+class TestMosaicDataset:
+    def test_mosaic_tiling_layout_and_epoch_length(self):
+        from neural_network_image_compression_tpu.data.pipeline import (
+            PatchDataset,
+        )
+
+        imgs = np.arange(32 * 8 * 8 * 3, dtype=np.uint8).reshape(32, 8, 8, 3)
+        ds = PatchDataset(imgs, batch_size=2, seed=1, mosaic=2)
+        assert len(ds) == 4  # 32 patches / (2 per batch * 4 per mosaic)
+        b = next(iter(ds.epoch(0)))
+        assert b.shape == (2, 16, 16, 3)
+        rng = np.random.default_rng((1, 0))
+        order = rng.permutation(32)
+        # Each 8x8 tile is one source patch verbatim, row-major per element.
+        np.testing.assert_array_equal(b[0, :8, :8], imgs[order[0]])
+        np.testing.assert_array_equal(b[0, :8, 8:], imgs[order[1]])
+        np.testing.assert_array_equal(b[0, 8:, :8], imgs[order[2]])
+        np.testing.assert_array_equal(b[1, :8, :8], imgs[order[4]])
+
+    def test_mosaic_one_is_identity(self):
+        from neural_network_image_compression_tpu.data.pipeline import (
+            PatchDataset,
+        )
+
+        imgs = np.arange(8 * 4 * 4 * 3, dtype=np.uint8).reshape(8, 4, 4, 3)
+        a = list(PatchDataset(imgs, 4, seed=0).epoch(0))
+        b = list(PatchDataset(imgs, 4, seed=0, mosaic=1).epoch(0))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+class TestUrlBuilder:
+    """build_patches_from_urls: the reference's ImageNet crawl path
+    (imagenet_download.ipynb cells 3,7-8) exercised with file:// URLs."""
+
+    def test_crawl_file_urls(self, tmp_path):
+        from neural_network_image_compression_tpu.data.builder import (
+            build_patches_from_urls,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rng = np.random.default_rng(0)
+        good = []
+        for i in range(6):
+            p = src / f"img{i}.png"
+            Image.fromarray(
+                rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+            ).save(p)
+            good.append(f"n{i:03d}\tfile://{p}")
+        flat = src / "flat.png"
+        Image.fromarray(np.full((64, 48, 3), 7, np.uint8)).save(flat)
+        lines = good + [
+            f"nflat\tfile://{flat}",            # rejected: std <= 20
+            "ndead\tfile:///nonexistent.png",   # swallowed error (cell 7)
+            "",                                   # blank line skipped
+            f"file://{src / 'img0.png'}",       # bare-URL line format
+        ]
+        url_file = tmp_path / "urls.txt"
+        url_file.write_text("\n".join(lines))
+        out = tmp_path / "out"
+        n = build_patches_from_urls(
+            str(url_file), str(out), patch_size=16, workers=1, seed=3
+        )
+        assert n == 7  # 6 textured + 1 bare-url duplicate; flat+dead dropped
+        names = sorted(os.listdir(out))
+        assert names == [f"{i:05d}.jpg" for i in range(7)]
+        for name in names:
+            with Image.open(out / name) as im:
+                assert im.size == (16, 16)
+
+    def test_crawl_respects_limit(self, tmp_path):
+        from neural_network_image_compression_tpu.data.builder import (
+            build_patches_from_urls,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rng = np.random.default_rng(1)
+        urls = []
+        for i in range(8):
+            p = src / f"{i}.png"
+            Image.fromarray(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            ).save(p)
+            urls.append(f"file://{p}")
+        url_file = tmp_path / "urls.txt"
+        url_file.write_text("\n".join(urls))
+        out = tmp_path / "out"
+        n = build_patches_from_urls(
+            str(url_file), str(out), patch_size=8, workers=1, limit=3
+        )
+        assert n == 3
+        assert sorted(os.listdir(out)) == ["00000.jpg", "00001.jpg", "00002.jpg"]
