@@ -600,18 +600,23 @@ def decode_latent_joint(codec, params, streams: list[bytes],
 # ------------------------------- channel-wise autoregressive (CHARM) path
 
 
-def _chan_fn(codec):
-    """Jitted (params, sym [1,h,w,3C] uint8) -> (mean, scale)
-    [h,w,3*(C - C/S)] — the channel-context conditionals for channels
-    [C/S:] of each plane, concatenated plane-major.
+def _chan_fn(codec, only_slice: int | None = None):
+    """Jitted (params, sym [1,h,w,3C] uint8) -> (mean, scale) — the
+    channel-context conditionals, concatenated plane-major:
+    [h,w,3*(C - C/S)] covering channels [C/S:] of each plane, or
+    [h,w,3*(C/S)] for just slice ``only_slice`` (the progressive decoder's
+    per-pass call — one stack instead of all S-1, O(S) total decode work).
 
-    Causality makes one compiled program serve both sides: slice s's stack
-    reads only channels [: s*width] of its plane (models/entropy.py
+    Causality makes these programs serve both sides: slice s's stack reads
+    only channels [: s*width] of its plane (models/entropy.py
     ChannelContext), so the decoder can call this on a partially-decoded
     grid and the parameters for the next undecoded slice are bitwise what
     the encoder computed (same platform; use codec.deterministic for
     cross-platform containers)."""
-    fn = getattr(codec, "_chan_coding_fn", None)
+    cache = getattr(codec, "_chan_coding_fns", None)
+    if cache is None:
+        cache = codec._chan_coding_fns = {}
+    fn = cache.get(only_slice)
     if fn is None:
         import jax
         import jax.numpy as jnp
@@ -620,27 +625,30 @@ def _chan_fn(codec):
 
         def f(params, sym):
             z = sym.astype(jnp.float32)
-            my, sy = codec.channel_params(params, "y", z[..., :cch])
+            my, sy = codec.channel_params(
+                params, "y", z[..., :cch], only_slice
+            )
             zc = jnp.concatenate(
                 [z[..., cch : 2 * cch], z[..., 2 * cch :]], axis=0
             )
-            mc, sc = codec.channel_params(params, "c", zc)
+            mc, sc = codec.channel_params(params, "c", zc, only_slice)
             mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
             scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
             return mean[0], scale[0]
 
-        fn = jax.jit(f)
-        codec._chan_coding_fn = fn
+        fn = cache[only_slice] = jax.jit(f)
     return fn
 
 
-def _chan_mu_idx(codec, params, sym: np.ndarray, det: bool):
-    """(mu, idx) [h,w,3*(C - C/S)] for the channel conditionals."""
+def _chan_mu_idx(codec, params, sym: np.ndarray, det: bool,
+                 only_slice: int | None = None):
+    """(mu, idx) for the channel conditionals: [h,w,3*(C - C/S)] over all
+    conditional slices, or [h,w,3*(C/S)] for ``only_slice``."""
     if det:
         from neural_network_image_compression_tpu.coding import detnet
 
-        return detnet.det_channel_params(codec, params, sym)
-    mean, scale = _chan_fn(codec)(params, sym[None])
+        return detnet.det_channel_params(codec, params, sym, only_slice)
+    mean, scale = _chan_fn(codec, only_slice)(params, sym[None])
     return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
 
 
@@ -720,13 +728,14 @@ def decode_latent_chan(codec, params, streams: list[bytes],
         )
         sym[..., p * cch : p * cch + width] = flat.reshape(h, w, width)
     for s in range(1, n_slices):
-        # one conditional-net call per slice: channels [: s*width] of every
-        # plane are decoded, which is all slice s's stacks read
-        mu_full, idx_full = _chan_mu_idx(codec, params, sym, det)
+        # One conditional-net call per pass, computing ONLY slice s's stack
+        # (channels [: s*width] of every plane are decoded, which is all it
+        # reads) — O(S) total decode conv work, not O(S^2).
+        mu_s, idx_s = _chan_mu_idx(codec, params, sym, det, only_slice=s)
         for p in range(3):
-            lo = p * cw + (s - 1) * width
-            mu = mu_full[..., lo : lo + width]
-            idx = idx_full[..., lo : lo + width]
+            lo = p * width
+            mu = mu_s[..., lo : lo + width]
+            idx = idx_s[..., lo : lo + width]
             wsym = rans.stream_decode_indexed(
                 streams[p * n_slices + s], idx.reshape(-1, width),
                 scale_cdfs, precision, engine,

@@ -224,6 +224,14 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
     elif flags & 128:
         (channel_slices,) = struct.unpack_from("<B", data, pos)
         pos += 1
+        if channel_slices < 2:
+            # Mirror pack_container's [2, 255] check: a corrupt byte here
+            # would otherwise yield passes=0/1 and confusing downstream
+            # failures instead of a clean header error.
+            raise ValueError(
+                f"corrupt container: channel_slices={channel_slices}, "
+                "must be in [2, 255]"
+            )
         passes = channel_slices + (1 if flags & 8 else 0)
     elif flags & 64:
         passes = 3 + (1 if flags & 8 else 0)

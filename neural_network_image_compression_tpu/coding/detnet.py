@@ -334,21 +334,26 @@ def _chan_layers(codec, params, which: str, s: int):
     return [_quantize_conv(tree[f"cc{s}_{i}"]) for i in (1, 2, 3)]
 
 
-def det_channel_params(codec, params,
-                       sym: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def det_channel_params(codec, params, sym: np.ndarray,
+                       only_slice: int | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic twin of codec_stream._chan_fn (channel-wise context).
 
     sym: [h,w,3C] uint8 symbols; slice s's stack reads only channels
     [: s*width] of its plane, so values in not-yet-decoded channels are
     ignored exactly as in the float path. Returns (mu, idx), each
     [h,w,3*(C - width)] matching the float path's plane-major layout of the
-    conditional channels [width:]."""
+    conditional channels [width:] — or [h,w,3*width] for just
+    ``only_slice`` (the progressive decoder's per-pass call)."""
     cch = codec.latent_channels
     levels = codec.levels
     h, w = sym.shape[:2]
     n_slices = codec.context_y.num_slices
     width = cch // n_slices
-    cw = cch - width
+    slices = (only_slice,) if only_slice is not None else tuple(
+        range(1, n_slices)
+    )
+    cw = width * len(slices)
     lut = _det_cache(codec, params, "chan_lut", lambda: _symbol_lut(codec))
     thr = _det_cache(codec, params, "thr", lambda: _scale_thresholds(codec))
     span = codec._ctx_mean_span
@@ -357,13 +362,13 @@ def det_channel_params(codec, params,
     idx = np.empty((h, w, 3 * cw), np.int32)
     for p, which in ((0, "y"), (1, "c"), (2, "c")):
         xp = x[..., p * cch : (p + 1) * cch]
-        for s in range(1, n_slices):
+        for j, s in enumerate(slices):
             layers = _det_cache(
                 codec, params, f"chan_{which}_{s}",
                 lambda which=which, s=s: _chan_layers(codec, params, which, s),
             )
             out = _run_ctx(xp[..., : s * width], layers)
-            lo = p * cw + (s - 1) * width
+            lo = p * cw + j * width
             mu[..., lo : lo + width] = _mean_mu(out[..., :width], span, levels)
             idx[..., lo : lo + width] = _scale_idx(out[..., width:], thr)
     return mu, idx

@@ -365,17 +365,21 @@ class NeuralCodec:
         return (z_sym / (self.levels - 1) - 0.5) * 2.0
 
     def channel_params(self, params: Params, which: str,
-                       z_sym: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+                       z_sym: jnp.ndarray, only_slice: int | None = None
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Channel-context conditional Gaussian (mean, scale)
         [M,h,w,C - C/slices] in symbol units, covering channels
         [C/slices:]. Slice s's stack reads only channels [: s*width], so
         calling this on a partially-decoded grid yields exact parameters for
-        the next undecoded slice (models/entropy.py ChannelContext)."""
+        the next undecoded slice (models/entropy.py ChannelContext).
+        ``only_slice=s`` runs just that slice's stack — the progressive
+        decoder's per-pass call."""
         mod = self.context_y if which == "y" else self.context_c
         if not isinstance(mod, ChannelContext):
             raise TypeError("channel_params requires entropy.context='channel'")
         return mod.apply(
-            {"params": params[f"context_{which}"]}, self._norm_latent(z_sym)
+            {"params": params[f"context_{which}"]}, self._norm_latent(z_sym),
+            only_slice,
         )
 
     def plane_bits(self, params: Params, which: str,

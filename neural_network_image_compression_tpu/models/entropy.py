@@ -271,7 +271,13 @@ class ChannelContext(nn.Module):
     scale_init: float = 64.0
 
     @nn.compact
-    def __call__(self, z_norm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, z_norm: jnp.ndarray, only_slice: int | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """``only_slice=s`` computes just slice s's conditional stack
+        (returns [M,h,w,C/num_slices]) — the progressive decoder's per-pass
+        call, which otherwise pays all S-1 stacks per pass for outputs it
+        discards (O(S^2) total conv work instead of O(S))."""
         if self.channels % self.num_slices:
             raise ValueError(
                 f"latent channels {self.channels} not divisible by "
@@ -281,7 +287,11 @@ class ChannelContext(nn.Module):
         act = lambda v: nn.leaky_relu(v, negative_slope=0.2)
         means, scales = [], []
         center = (self.levels - 1) / 2.0
-        for s in range(1, self.num_slices):
+        which = (
+            (only_slice,) if only_slice is not None
+            else range(1, self.num_slices)
+        )
+        for s in which:
             x = z_norm[..., : s * width]
             x = act(nn.Conv(self.hidden, (5, 5), padding="SAME",
                             name=f"cc{s}_1")(x))

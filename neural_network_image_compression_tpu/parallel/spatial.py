@@ -14,8 +14,12 @@ most R input columns on each side, where R is the conv stack's receptive
 half-width (base preset: R = 22 input px for analysis). With a halo of
 ``halo >= R`` columns of *real* neighbour data (rounded up to a multiple of
 the downsample factor so the stride phase is preserved), every kept latent
-column sees the same window of values as in the whole-image pass, computed by
-the same XLA convolutions — hence bit-identical results per platform.
+column sees the same window of values as in the whole-image pass. The tiled
+and whole-image passes are mathematically identical, but XLA may fuse the
+float reductions in a different order per tiling, so quantized symbols can
+differ by <=1 level at a handful of positions (tests/test_parallel.py
+gates at <=2 single-level flips); for guaranteed-identical bitstreams use
+``codec.deterministic`` fixed-point coding-side inference.
 
 The reference has no analogue — it always runs whole images on one device
 (reference tf2_0/src/utils.py:30-44); its SAME-padded stride-2 convs

@@ -156,9 +156,11 @@ def test_old_reader_rejects_channel_flag(chan_codec, rng):
         cmod._KNOWN_FLAGS = old
 
 
-def test_channel_beats_factorized_on_correlated_latents(rng):
-    """On symbols with strong cross-channel correlation the conditional
-    stream must code fewer bits than the factorized tables would."""
+def test_channel_container_on_correlated_symbols(rng):
+    """Container plumbing + bit-exact round-trip on adversarial
+    cross-channel-correlated symbols. (An untrained conditional cannot beat
+    the factorized tables on rate — the rate quality of the channel context
+    is measured in training runs, RESULTS.md.)"""
     cfg = _chan_cfg()
     codec = NeuralCodec(cfg)
     params = codec.init(jax.random.key(2), (32, 48))
@@ -230,3 +232,25 @@ def test_cli_accepts_channel_context():
     cfg = _build_config(args)
     assert cfg.entropy.context == "channel"
     assert Config.from_json(cfg.to_json()).entropy.context == "channel"
+
+
+def test_corrupt_slice_count_rejected(chan_codec, rng):
+    """A corrupt channel_slices byte (< 2) must raise a clean header error,
+    mirroring pack_container's [2, 255] check — not passes=0/1 confusion."""
+    from neural_network_image_compression_tpu.coding.container import (
+        unpack_container,
+    )
+
+    codec, params = chan_codec
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    blob = bytearray(compress_image(codec, params, img))
+    # slice byte offset: magic(4) + ver/flags(2) + 1+len(model_id) +
+    # 1+len(colorspace) + fixed header struct (27 bytes)
+    mid = codec.cfg.codec.model_id.encode()
+    cs = codec.cfg.codec.colorspace.encode()
+    off = 4 + 2 + 1 + len(mid) + 1 + len(cs) + 27
+    assert blob[off] == codec.context_y.num_slices  # located correctly
+    for bad in (0, 1):
+        blob[off] = bad
+        with pytest.raises(ValueError, match="channel_slices"):
+            unpack_container(bytes(blob))
