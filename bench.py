@@ -69,6 +69,37 @@ def check_pallas_compiled_parity() -> dict:
     return {"max_diff": max_diff, "flip_frac": flip_frac}
 
 
+def check_pallas_entropy_parity() -> dict:
+    """Compiled Pallas factorized-bits kernel vs the XLA chain on the chip
+    (VERDICT r3 item 7: the kernel must be bench-gated like the conv
+    kernels now that production rate reporting uses it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_network_image_compression_tpu.models.entropy import (
+        FactorizedEntropyModel,
+    )
+    from neural_network_image_compression_tpu.ops.pallas_entropy import (
+        factorized_bits_pallas,
+    )
+
+    ent = FactorizedEntropyModel(channels=32, filters=(3, 3, 3), levels=256)
+    z = jnp.asarray(
+        np.random.default_rng(7).integers(96, 160, (2, 24, 16, 32)),
+        jnp.float32,
+    )
+    params = ent.init(jax.random.key(1), z)["params"]
+    ref = np.asarray(ent.apply({"params": params}, z))
+    got = np.asarray(factorized_bits_pallas(z, params, 256))
+    max_diff = float(np.abs(ref - got).max())
+    if max_diff > 1e-3:
+        raise AssertionError(
+            f"compiled Pallas entropy kernel diverges from XLA: "
+            f"max_diff={max_diff:.2e} bits"
+        )
+    return {"max_diff": max_diff}
+
+
 def measure_tpu(model: str = "gdn") -> dict:
     import dataclasses
 
@@ -250,6 +281,7 @@ def measure_torch_baseline() -> float:
 def main():
     model = os.environ.get("BENCH_MODEL", "gdn")
     parity = check_pallas_compiled_parity()
+    ent_parity = check_pallas_entropy_parity()
     stats = measure_tpu(model)
     base_rate = measure_torch_baseline()
     print(
@@ -271,6 +303,9 @@ def main():
                 "bound": stats["bound"],
                 "device_kind": stats["device_kind"],
                 "pallas_compiled_parity": f"ok (max_diff {parity['max_diff']:.1e})",
+                "pallas_entropy_parity": (
+                    f"ok (max_diff {ent_parity['max_diff']:.1e})"
+                ),
             }
         )
     )

@@ -106,6 +106,11 @@ def _build_config(args) -> "Config":
             ),
             distortion=args.distortion,
             mosaic=getattr(args, "mosaic", None) or cfg.train.mosaic,
+            grad_clip_norm=(
+                getattr(args, "grad_clip", None)
+                if getattr(args, "grad_clip", None) is not None
+                else cfg.train.grad_clip_norm
+            ),
             freeze_transforms=getattr(args, "freeze_transforms", False),
             **(
                 {"val_every_steps": args.val_every_steps}
@@ -159,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
                          default=None,
                          help="decoder-side quantization surrogate "
                               "(default: the config preset's)")
+    p_train.add_argument("--grad-clip", type=float, default=None,
+                         dest="grad_clip",
+                         help="global-norm gradient clipping (stabilizer "
+                              "for GDN+STE)")
     p_train.add_argument("--mosaic", type=int, default=None,
                          help="G>1: train on GxG patch mosaics ((G*128)^2 "
                               "crops) — larger-crop training for hyper-side "

@@ -110,8 +110,25 @@ class ContainerHeader:
                              # (passes = S + adaptive)
 
 
+def tile_grid(n_tiles: int) -> tuple[int, int]:
+    """Decode the u16 ``n_tiles`` field into a (n_h, n_w) tile grid.
+
+    1-D containers store the bare tile count (high byte 0 -> one row);
+    2-D containers (parallel/spatial.py compress_image_tiled_2d) pack
+    ``(n_h << 8) | n_w``. Total stream count scales with n_h * n_w."""
+    n_h = n_tiles >> 8
+    if n_h == 0:
+        return 1, max(n_tiles, 1)
+    return n_h, n_tiles & 0xFF
+
+
+def tile_count(n_tiles: int) -> int:
+    n_h, n_w = tile_grid(n_tiles)
+    return n_h * n_w
+
+
 def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
-    expected = header.n_planes * header.n_tiles * header.passes
+    expected = header.n_planes * tile_count(header.n_tiles) * header.passes
     if len(streams) != expected:
         raise ValueError(f"expected {expected} streams, got {len(streams)}")
     mid = header.model_id.encode()
@@ -237,7 +254,7 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         passes = 3 + (1 if flags & 8 else 0)
     else:
         passes = 1 + (1 if flags & (2 | 4) else 0) + (1 if flags & 8 else 0)
-    n_streams = n_planes * n_tiles * passes
+    n_streams = n_planes * tile_count(n_tiles) * passes
     lengths = struct.unpack_from(f"<{n_streams}I", data, pos)
     pos += 4 * n_streams
     streams = []

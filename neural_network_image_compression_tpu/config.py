@@ -124,6 +124,9 @@ class TrainConfig:
     batch_size: int = 64                 # reference tf2_0/src/training.py:179
     max_epochs: int = 30
     learning_rate: float = 1e-4          # reference tf2_0/src/training.py:56-58
+    grad_clip_norm: float | None = None  # optax.clip_by_global_norm before
+                                         # Adam; stabilizer for GDN+STE runs
+                                         # (RESULTS.md r4)
     rd_lambda: float = 0.01              # initial rate weight (entropy_loss_coef)
     rd_lambda_step: float = 0.01         # += per epoch (tf2_0/src/training.py:165)
     chroma_lambda: float | None = None   # None => same as rd_lambda. The

@@ -548,6 +548,60 @@ class NeuralCodec:
         bits_c = self.plane_bits(params, "c", zc)
         return jnp.concatenate([bits_y, bits_c[:n], bits_c[n:]], axis=3)
 
+    def estimated_bpp(self, params: Params, sym: jnp.ndarray,
+                      hw_pixels: int) -> jnp.ndarray:
+        """[N] on-chip rate ESTIMATE (bpp) for quantized symbol grids
+        [N,h,w,3C] under the factorized density — encode-time rate reporting
+        without host entropy coding (the north star's "rate estimation uses
+        the learned CDF evaluated on-chip"). On TPU this runs the fused
+        Pallas kernel (ops/pallas_entropy.py: whole CDF chain in VMEM, no
+        HBM intermediates); elsewhere the XLA chain. For context-model
+        codecs this is the factorized upper bound (anchors' own density);
+        the exact rate is the container byte count. Used by trainer
+        validation (``est_bpp`` in metrics.jsonl) and parity-gated in
+        bench.py like the conv kernels."""
+        if not isinstance(self.entropy_y, FactorizedEntropyModel):
+            raise TypeError("estimated_bpp requires the factorized entropy model")
+        fn = getattr(self, "_est_bpp_fn", None)
+        if fn is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+            def f(params, sym):
+                z = sym.astype(jnp.float32)
+                cch = self.latent_channels
+                n = sym.shape[0]
+                zy = z[..., :cch]
+                zc = jnp.concatenate(
+                    [z[..., cch : 2 * cch], z[..., 2 * cch :]], axis=0
+                )
+                if use_pallas:
+                    from neural_network_image_compression_tpu.ops import (
+                        pallas_entropy as pe,
+                    )
+
+                    bits_y = pe.factorized_bits_pallas(
+                        zy, params["entropy_y"], self.levels
+                    )
+                    bits_c = pe.factorized_bits_pallas(
+                        zc, params["entropy_c"], self.levels
+                    )
+                else:
+                    bits_y = self.entropy_y.apply(
+                        {"params": params["entropy_y"]}, zy
+                    )
+                    bits_c = self.entropy_c.apply(
+                        {"params": params["entropy_c"]}, zc
+                    )
+                total = (
+                    jnp.sum(bits_y, axis=(1, 2, 3))
+                    + jnp.sum(bits_c[:n], axis=(1, 2, 3))
+                    + jnp.sum(bits_c[n:], axis=(1, 2, 3))
+                )
+                return total
+
+            fn = self._est_bpp_fn = jax.jit(f)
+        return fn(params, sym) / hw_pixels
+
     def pmf_tables(self, params: Params) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(pmf_y [C,L], pmf_c [C,L]) for building rANS coding tables."""
         if not isinstance(self.entropy_y, FactorizedEntropyModel):

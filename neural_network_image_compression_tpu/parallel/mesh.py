@@ -32,6 +32,20 @@ def make_mesh(data: int = 1, spatial: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("data", "spatial"))
 
 
+def make_mesh_2d(sph: int = 1, spw: int = 1, devices=None) -> Mesh:
+    """2-D spatial mesh for H x W tile parallelism (parallel/spatial.py
+    tiled_encode_2d/tiled_decode_2d): axis ``sph`` shards image rows,
+    ``spw`` shards columns. For 4K-class inputs a (2, 4) mesh gives 8-way
+    tiles with two-axis ppermute halo exchange over ICI."""
+    if devices is None:
+        devices = jax.devices()
+    n = sph * spw
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.array(devices[:n]).reshape(sph, spw)
+    return Mesh(grid, ("sph", "spw"))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a [N, ...] batch sharded over the data axis."""
     return jax.device_put(batch, NamedSharding(mesh, P("data")))

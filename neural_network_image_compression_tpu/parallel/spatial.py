@@ -45,24 +45,39 @@ ENCODE_HALO = {"base": 24, "deep": 56}
 DECODE_HALO = {"base": 4, "deep": 6}
 
 
-def _halo_exchange_w(x: jnp.ndarray, halo: int, axis_name: str, n: int) -> jnp.ndarray:
-    """Concatenate neighbours' boundary columns: [N,H,W,C] -> [N,H,W+2h,C].
+def _halo_exchange(x: jnp.ndarray, halo: int, axis_name: str, n: int,
+                   axis: int) -> jnp.ndarray:
+    """Concatenate neighbours' boundary slices along ``axis`` (1=H rows,
+    2=W columns): [N,H,W,C] -> [N,H+2h,W,C] or [N,H,W+2h,C].
 
     Tiles at the global edges receive zeros (ppermute semantics), matching
-    whole-image SAME zero padding.
+    whole-image SAME zero padding. For 2-D tiling, exchange W first and then
+    H on the W-extended array — the row halos then carry the corner regions
+    too, so diagonal neighbours need no extra exchange.
     """
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(None, halo)
+    hi[axis] = slice(-halo, None)
     if n == 1:
-        zeros = jnp.zeros(x.shape[:2] + (halo,) + x.shape[3:], x.dtype)
-        return jnp.concatenate([zeros, x, zeros], axis=2)
-    # tile i sends its LEFT columns to tile i-1 (they become i-1's right halo)
-    right_halo = jax.lax.ppermute(
-        x[:, :, :halo], axis_name, [(i, i - 1) for i in range(1, n)]
+        shape = list(x.shape)
+        shape[axis] = halo
+        zeros = jnp.zeros(shape, x.dtype)
+        return jnp.concatenate([zeros, x, zeros], axis=axis)
+    # tile i sends its LOW slice to tile i-1 (becomes i-1's high halo)
+    high_halo = jax.lax.ppermute(
+        x[tuple(lo)], axis_name, [(i, i - 1) for i in range(1, n)]
     )
-    # tile i sends its RIGHT columns to tile i+1 (they become i+1's left halo)
-    left_halo = jax.lax.ppermute(
-        x[:, :, -halo:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    # tile i sends its HIGH slice to tile i+1 (becomes i+1's low halo)
+    low_halo = jax.lax.ppermute(
+        x[tuple(hi)], axis_name, [(i, i + 1) for i in range(n - 1)]
     )
-    return jnp.concatenate([left_halo, x, right_halo], axis=2)
+    return jnp.concatenate([low_halo, x, high_halo], axis=axis)
+
+
+def _halo_exchange_w(x: jnp.ndarray, halo: int, axis_name: str, n: int) -> jnp.ndarray:
+    """Width-axis halo exchange: [N,H,W,C] -> [N,H,W+2h,C]."""
+    return _halo_exchange(x, halo, axis_name, n, axis=2)
 
 
 def _edge_mask(axis_name: str, halo: int, local_w: int, global_w: int,
@@ -179,7 +194,192 @@ def tiled_decode(codec, params, sym_u8: jnp.ndarray, mesh: Mesh,
     )(params, sym_u8)
 
 
+# ------------------------------------------------------------- 2-D tiling
+
+
+def _edge_mask_2d(halo_h: int, local_h: int, global_h: int,
+                  halo_w: int, local_w: int, global_w: int, upsample: bool):
+    """Per-stage H x W mask re-imposing whole-image SAME-padding zeros on
+    both axes (the 2-D generalization of :func:`_edge_mask`; same SPMD
+    program on every tile, only the axis indices differ)."""
+    idx_h = jax.lax.axis_index("sph")
+    idx_w = jax.lax.axis_index("spw")
+
+    def mask(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+        h, w = x.shape[1], x.shape[2]
+        if upsample:
+            off_h = (idx_h * local_h - halo_h) * scale
+            off_w = (idx_w * local_w - halo_w) * scale
+            gmax_h, gmax_w = global_h * scale, global_w * scale
+        else:
+            off_h = (idx_h * local_h - halo_h) // scale
+            off_w = (idx_w * local_w - halo_w) // scale
+            gmax_h, gmax_w = global_h // scale, global_w // scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1) + off_h
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2) + off_w
+        keep = (rows >= 0) & (rows < gmax_h) & (cols >= 0) & (cols < gmax_w)
+        return jnp.where(keep, x, jnp.zeros_like(x))
+
+    return mask
+
+
+def tiled_encode_2d(codec, params, rgb_u8: jnp.ndarray, mesh: Mesh,
+                    halo: int | None = None,
+                    valid_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Whole-image-equivalent encode with H sharded over mesh axis ``sph``
+    and W over ``spw`` (4K-class inputs: a (2,4) mesh gives 8-way tiles with
+    two-axis ppermute halo exchange). rgb_u8: [N,H,W,3] with H divisible by
+    sph*ds and W by spw*ds. Returns uint8 symbols [N,h,w,3C] sharded on
+    (h, w). ``valid_hw`` (multiples of ds) masks zero-padding beyond the
+    logical image, exactly like :func:`tiled_encode`'s ``valid_w``."""
+    ds = codec.downsample
+    if halo is None:
+        halo = ENCODE_HALO[codec.cfg.model.preset]
+    halo = -(-halo // ds) * ds
+    n_h, n_w = mesh.shape["sph"], mesh.shape["spw"]
+    h, w = rgb_u8.shape[1:3]
+    if valid_hw is None:
+        valid_hw = (h, w)
+    valid_h, valid_w = valid_hw
+    if h % (n_h * ds) or w % (n_w * ds) or valid_h % ds or valid_w % ds:
+        raise ValueError(
+            f"H={h},W={w} not divisible by (sph*ds, spw*ds)=({n_h*ds},{n_w*ds})"
+        )
+    local_h, local_w = h // n_h, w // n_w
+
+    def fn(p, tile_u8):
+        x = tile_u8.astype(jnp.float32) / 255.0
+        planes = cspace.rgb_to_planes(x, codec.colorspace)
+        idx_h = jax.lax.axis_index("sph")
+        idx_w = jax.lax.axis_index("spw")
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, local_h, 1, 1), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, local_w, 1), 2)
+        keep = (rows + idx_h * local_h < valid_h) & (
+            cols + idx_w * local_w < valid_w
+        )
+        planes = jnp.where(keep, planes, 0.0)
+        mask = _edge_mask_2d(halo, local_h, valid_h, halo, local_w, valid_w,
+                             upsample=False)
+        ext = _halo_exchange(planes, halo, "spw", n_w, axis=2)
+        ext = _halo_exchange(ext, halo, "sph", n_h, axis=1)
+        lat = codec.encode_planes(p, ext, column_mask=mask)
+        crop = halo // ds
+        lat = lat[:, crop : lat.shape[1] - crop, crop : lat.shape[2] - crop]
+        return quantize(lat, codec.levels, codec.grid)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, "sph", "spw", None)),
+        out_specs=P(None, "sph", "spw", None),
+    )(params, rgb_u8)
+
+
+def tiled_decode_2d(codec, params, sym_u8: jnp.ndarray, mesh: Mesh,
+                    halo: int | None = None,
+                    valid_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Inverse of :func:`tiled_encode_2d`: latent symbols sharded on (h, w)
+    -> uint8 RGB sharded on (H, W). ``valid_hw`` is in latent units."""
+    ds = codec.downsample
+    if halo is None:
+        halo = DECODE_HALO[codec.cfg.model.preset]
+    n_h, n_w = mesh.shape["sph"], mesh.shape["spw"]
+    lat_h, lat_w = sym_u8.shape[1:3]
+    if valid_hw is None:
+        valid_hw = (lat_h, lat_w)
+    valid_h, valid_w = valid_hw
+    if lat_h % n_h or lat_w % n_w:
+        raise ValueError("latent dims not divisible by the spatial mesh")
+    local_h, local_w = lat_h // n_h, lat_w // n_w
+
+    def fn(p, tile_sym):
+        lat = dequantize(tile_sym, codec.levels, codec.grid)
+        idx_h = jax.lax.axis_index("sph")
+        idx_w = jax.lax.axis_index("spw")
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, local_h, 1, 1), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, local_w, 1), 2)
+        keep = (rows + idx_h * local_h < valid_h) & (
+            cols + idx_w * local_w < valid_w
+        )
+        lat = jnp.where(keep, lat, 0.0)
+        ext = _halo_exchange(lat, halo, "spw", n_w, axis=2)
+        ext = _halo_exchange(ext, halo, "sph", n_h, axis=1)
+        mask = _edge_mask_2d(halo, local_h, valid_h, halo, local_w, valid_w,
+                             upsample=True)
+        planes = codec.decode_planes(p, ext, column_mask=mask)
+        crop = halo * ds
+        planes = planes[:, crop : planes.shape[1] - crop,
+                        crop : planes.shape[2] - crop]
+        rgb = jnp.clip(cspace.planes_to_rgb(planes, codec.colorspace), 0.0, 1.0)
+        return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, "sph", "spw", None)),
+        out_specs=P(None, "sph", "spw", None),
+    )(params, sym_u8)
+
+
 # --------------------------------------------------------------- bitstream
+
+
+def _encode_tile_streams(codec, tile: np.ndarray, tables, adaptive: bool,
+                         precision: int, engine: str) -> list[bytes]:
+    """Per-tile independent streams (3 planes; x2 with embedded adaptive
+    tables). Tile independence is the point — conditional models would
+    couple tiles through their conditioning field, so tiles always use
+    factorized (or per-tile adaptive) coding."""
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        encode_latent,
+    )
+
+    cch = codec.latent_channels
+    if adaptive:
+        from neural_network_image_compression_tpu.coding import rans
+        from neural_network_image_compression_tpu.coding.adaptive import (
+            plane_histogram_cdf,
+            serialize_cdf,
+        )
+
+        streams = []
+        for p in range(3):
+            plane = np.ascontiguousarray(tile[..., p * cch : (p + 1) * cch])
+            tab = plane_histogram_cdf(plane, codec.levels, precision)
+            streams.append(serialize_cdf(tab, precision))
+            streams.append(rans.stream_encode(plane, tab, precision, engine))
+        return streams
+    return encode_latent(tile, tables[0], tables[1], precision, engine=engine)
+
+
+def _decode_tile_streams(codec, tile_streams: list[bytes],
+                         tile_hw: tuple[int, int], tables, adaptive: bool,
+                         precision: int, engine: str) -> np.ndarray:
+    """Inverse of :func:`_encode_tile_streams` -> [th, tw, 3C] symbols."""
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        decode_latent,
+    )
+
+    th, tw = tile_hw
+    if adaptive:
+        from neural_network_image_compression_tpu.coding import rans
+        from neural_network_image_compression_tpu.coding.adaptive import (
+            deserialize_cdf,
+        )
+
+        cch = codec.latent_channels
+        planes = []
+        for p in range(3):
+            tab = deserialize_cdf(
+                tile_streams[2 * p], cch, codec.levels, precision
+            )
+            flat = rans.stream_decode(
+                tile_streams[2 * p + 1], th * tw * cch, tab, precision, engine
+            )
+            planes.append(flat.reshape(th, tw, cch))
+        return np.concatenate(planes, axis=-1)
+    return decode_latent(tile_streams, (th, tw), tables[0], tables[1],
+                         precision, engine=engine)
 
 
 def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
@@ -347,5 +547,147 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
     sym = np.pad(sym, ((0, 0), (0, padded_lat_w - lat_w), (0, 0)))
     rgb = np.asarray(
         tiled_decode(codec, params, jnp.asarray(sym[None]), mesh, valid_w=lat_w)
+    )[0]
+    return rgb[: header.orig_h, : header.orig_w]
+
+
+# ------------------------------------------------------- 2-D tile bitstream
+#
+# Container convention: for a 2-D tile grid the u16 ``n_tiles`` header field
+# packs the grid as (n_h << 8) | n_w (n_h, n_w in [1, 255]); 1-D containers
+# keep writing the bare tile count (high byte 0 => n_h == 1). Streams are
+# row-major over the grid, 3 (or 6 with embedded tables) per tile.
+
+
+def compress_image_tiled_2d(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
+                            tables=None) -> bytes:
+    """H x W tile-parallel compress of one large image -> one container with
+    ``n_h * n_w`` independent per-tile/per-plane rANS streams (the latent is
+    produced on-mesh with two-axis halo exchange; byte streams are host-side
+    like every coder path)."""
+    from neural_network_image_compression_tpu.coding import build_tables
+    from neural_network_image_compression_tpu.coding.container import (
+        ContainerHeader,
+        pack_container,
+    )
+
+    n_h, n_w = mesh.shape["sph"], mesh.shape["spw"]
+    if not (1 <= n_h <= 255 and 1 <= n_w <= 255):
+        raise ValueError("2-D tile grid limited to 255 x 255")
+    if tables is None:
+        tables = build_tables(codec, params)
+    ds = codec.downsample
+    h, w = rgb_u8.shape[:2]
+    pad_h = (-h) % ds
+    pad_w = (-w) % ds
+    valid_h, valid_w = h + pad_h, w + pad_w
+    reflect = np.pad(rgb_u8, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+    tile_pad_h = (-valid_h) % (n_h * ds)
+    tile_pad_w = (-valid_w) % (n_w * ds)
+    padded = np.pad(reflect, ((0, tile_pad_h), (0, tile_pad_w), (0, 0)))
+    sym = np.asarray(
+        tiled_encode_2d(
+            codec, params, jnp.asarray(padded[None]), mesh,
+            valid_hw=(valid_h, valid_w),
+        )
+    )[0]
+    lat_h, lat_w = valid_h // ds, valid_w // ds
+    tile_h = sym.shape[0] // n_h
+    tile_w = sym.shape[1] // n_w
+    precision = codec.cfg.entropy.cdf_precision
+    engine = getattr(codec.cfg.codec, "coder", "rans64")
+    adaptive = getattr(codec.cfg.entropy, "adaptive_tables", False) or bool(
+        getattr(codec.cfg.codec, "deterministic", False)
+    )
+    per = 2 if adaptive else 1
+    streams: list[bytes] = []
+    for th in range(n_h):
+        rlo, rhi = th * tile_h, min((th + 1) * tile_h, lat_h)
+        for tw in range(n_w):
+            clo, chi = tw * tile_w, min((tw + 1) * tile_w, lat_w)
+            if rhi <= rlo or chi <= clo:
+                streams.extend([b""] * (3 * per))
+                continue
+            tile = np.ascontiguousarray(sym[rlo:rhi, clo:chi])
+            streams.extend(
+                _encode_tile_streams(codec, tile, tables, adaptive,
+                                     precision, engine)
+            )
+    import zlib
+
+    header = ContainerHeader(
+        model_id=codec.cfg.codec.model_id,
+        colorspace=codec.colorspace.name,
+        levels=codec.levels,
+        latent_channels=codec.latent_channels,
+        orig_h=h,
+        orig_w=w,
+        lat_h=lat_h,
+        lat_w=lat_w,
+        n_tiles=(n_h << 8) | n_w if n_h > 1 else n_w,
+        passes=per,
+        adaptive=adaptive,
+        coder=engine,
+        sym_crc=zlib.crc32(
+            np.ascontiguousarray(sym[:lat_h, :lat_w]).tobytes()
+        ) or 1,
+    )
+    return pack_container(header, streams)
+
+
+def decompress_image_tiled_2d(codec, params, data: bytes, mesh: Mesh,
+                              tables=None) -> np.ndarray:
+    """Tile-parallel inverse of :func:`compress_image_tiled_2d`. The mesh
+    may differ from the encoder's — the tile grid comes from the header and
+    only the final synthesis pass runs on ``mesh``."""
+    from neural_network_image_compression_tpu.coding import build_tables
+    from neural_network_image_compression_tpu.coding.container import (
+        unpack_container,
+    )
+
+    if tables is None:
+        tables = build_tables(codec, params)
+    header, streams = unpack_container(data)
+    n_h = max(header.n_tiles >> 8, 1)
+    n_w = header.n_tiles & 0xFF
+    lat_h, lat_w = header.lat_h, header.lat_w
+    tile_h = -(-lat_h // n_h)
+    tile_w = -(-lat_w // n_w)
+    per = header.passes
+    precision = codec.cfg.entropy.cdf_precision
+    rows = []
+    for th in range(n_h):
+        rlo, rhi = th * tile_h, min((th + 1) * tile_h, lat_h)
+        row = []
+        for tw in range(n_w):
+            clo, chi = tw * tile_w, min((tw + 1) * tile_w, lat_w)
+            t_idx = th * n_w + tw
+            if rhi <= rlo or chi <= clo:
+                continue
+            tile_streams = streams[3 * per * t_idx : 3 * per * (t_idx + 1)]
+            row.append(
+                _decode_tile_streams(
+                    codec, tile_streams, (rhi - rlo, chi - clo), tables,
+                    header.adaptive, precision, header.coder,
+                )
+            )
+        if row:
+            rows.append(np.concatenate(row, axis=1))
+    sym = np.concatenate(rows, axis=0)
+    if header.sym_crc:
+        import zlib
+
+        got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        if got != header.sym_crc:
+            raise ValueError("latent symbol checksum mismatch in tiled decode")
+    mesh_h, mesh_w = mesh.shape["sph"], mesh.shape["spw"]
+    pad_h = (-lat_h) % mesh_h
+    pad_w = (-lat_w) % mesh_w
+    sym = np.pad(sym, ((0, pad_h), (0, pad_w), (0, 0)))
+    rgb = np.asarray(
+        tiled_decode_2d(
+            codec, params, jnp.asarray(sym[None]), mesh,
+            valid_hw=(lat_h, lat_w),
+        )
     )[0]
     return rgb[: header.orig_h, : header.orig_w]

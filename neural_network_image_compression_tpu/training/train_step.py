@@ -56,6 +56,9 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     *gradients* under Adam still produces updates while the first moment
     decays if the moments were restored nonzero)."""
     base = optax.adam(cfg.train.learning_rate)
+    clip = getattr(cfg.train, "grad_clip_norm", None)
+    if clip is not None:
+        base = optax.chain(optax.clip_by_global_norm(clip), base)
     if not cfg.train.freeze_transforms:
         return base
 

@@ -305,6 +305,28 @@ class Trainer:
             "mean_psnr": result["mean_psnr"],
             "mean_ms_ssim": result["mean_ms_ssim"],
         }
+        # On-chip learned-CDF rate estimate (Pallas on TPU) next to the real
+        # container rate — encode-time rate reporting with no host coding.
+        try:
+            from neural_network_image_compression_tpu.coding.codec_stream import (
+                jitted_codec_fns,
+            )
+            from neural_network_image_compression_tpu.data.io import (
+                list_images,
+                load_image,
+            )
+
+            names = list_images(self.cfg.data.val_dir)
+            if names and hasattr(self.codec, "estimated_bpp"):
+                img = load_image(os.path.join(self.cfg.data.val_dir, names[0]))
+                sym = jitted_codec_fns(self.codec)[0](params, img[None])
+                record["est_bpp"] = float(
+                    self.codec.estimated_bpp(
+                        params, sym, img.shape[0] * img.shape[1]
+                    )[0]
+                )
+        except TypeError:
+            pass  # regressor-mode codecs have no factorized density
         self._log(record)
         if self.cfg.train.val_artifacts and self._is_lead:
             self._dump_val_artifacts(params, step)

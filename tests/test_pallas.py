@@ -176,3 +176,25 @@ def test_pallas_bf16_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_estimated_bpp_production_api(rng):
+    """codec.estimated_bpp — the production wiring of the entropy kernel
+    (on TPU it runs ops/pallas_entropy.py; on CPU the XLA chain) — must
+    equal the XLA factorized bits sum."""
+    from neural_network_image_compression_tpu.config import tpu_native
+    from neural_network_image_compression_tpu.models import NeuralCodec
+
+    cfg = tpu_native()
+    codec = NeuralCodec(cfg)
+    params = codec.init(jax.random.key(0), (32, 48))
+    img = rng.integers(0, 256, (1, 32, 48, 3)).astype(np.uint8)
+    sym = codec.encode(params, jnp.asarray(img))
+    est = codec.estimated_bpp(params, sym, 32 * 48)
+    z = sym.astype(jnp.float32)
+    cch = codec.latent_channels
+    by = codec.entropy_y.apply({"params": params["entropy_y"]}, z[..., :cch])
+    zc = jnp.concatenate([z[..., cch:2*cch], z[..., 2*cch:]], axis=0)
+    bc = codec.entropy_c.apply({"params": params["entropy_c"]}, zc)
+    want = (by.sum() + bc.sum()) / (32 * 48)
+    np.testing.assert_allclose(float(est[0]), float(want), rtol=1e-4)

@@ -214,3 +214,80 @@ def test_tiled_encode_gdn_matches_whole_image(rng):
     mismatch = int((diff != 0).sum())
     assert mismatch <= 2, f"{mismatch} latent symbols differ from whole-image path"
     assert np.abs(diff).max() <= 1
+
+
+# --------------------------------------------------------------- 2-D tiling
+
+
+from neural_network_image_compression_tpu.parallel import (  # noqa: E402
+    make_mesh_2d,
+    tiled_decode_2d,
+    tiled_encode_2d,
+)
+from neural_network_image_compression_tpu.parallel.spatial import (  # noqa: E402
+    compress_image_tiled_2d,
+    decompress_image_tiled_2d,
+)
+
+
+@pytest.mark.parametrize("grid", [(1, 2), (1, 4), (2, 2), (2, 4)])
+def test_tiled_encode_2d_matches_whole_image(codec_and_params, rng, grid):
+    """Tile-count invariance over H x W meshes (VERDICT r3 item 8)."""
+    codec, params = codec_and_params
+    n_h, n_w = grid
+    mesh = make_mesh_2d(sph=n_h, spw=n_w)
+    rgb = rng.integers(0, 256, (1, 64 * n_h, 64 * n_w, 3), dtype=np.uint8)
+    whole = np.asarray(codec.encode(params, rgb))
+    tiled = np.asarray(tiled_encode_2d(codec, params, jnp.asarray(rgb), mesh))
+    assert tiled.shape == whole.shape
+    diff = tiled.astype(np.int32) - whole.astype(np.int32)
+    mismatch = int((diff != 0).sum())
+    # same ~1ulp fusion-order caveat as the 1-D tests
+    assert mismatch <= 2, f"{mismatch} latent symbols differ"
+    assert mismatch == 0 or np.abs(diff).max() <= 1
+
+
+@pytest.mark.parametrize("grid", [(2, 2), (2, 4)])
+def test_tiled_decode_2d_matches_whole_image(codec_and_params, rng, grid):
+    codec, params = codec_and_params
+    n_h, n_w = grid
+    mesh = make_mesh_2d(sph=n_h, spw=n_w)
+    sym = rng.integers(0, 256, (1, 8 * n_h, 8 * n_w, 96), dtype=np.uint8)
+    whole = np.asarray(codec.decode(params, sym))
+    tiled = np.asarray(tiled_decode_2d(codec, params, jnp.asarray(sym), mesh))
+    diff = tiled.astype(np.int32) - whole.astype(np.int32)
+    mismatch = int((diff != 0).sum())
+    assert mismatch <= 4, f"{mismatch} pixels differ"
+    assert mismatch == 0 or np.abs(diff).max() <= 1
+
+
+def test_tiled_bitstream_2d_round_trip(codec_and_params, rng):
+    """Non-divisible image through the 2-D tile container; decode must work
+    on a DIFFERENT mesh than encode (the tile grid lives in the header)."""
+    codec, params = codec_and_params
+    rgb = rng.integers(0, 256, (210, 300, 3), dtype=np.uint8)
+    blob = compress_image_tiled_2d(codec, params, rgb, make_mesh_2d(2, 4))
+    out = decompress_image_tiled_2d(codec, params, blob, make_mesh_2d(2, 4))
+    assert out.shape == rgb.shape
+    out_other = decompress_image_tiled_2d(
+        codec, params, blob, make_mesh_2d(1, 4)
+    )
+    np.testing.assert_array_equal(out, out_other)
+    # tile-grid invariance of the decoded image: (1,1) container vs (2,4)
+    blob11 = compress_image_tiled_2d(codec, params, rgb, make_mesh_2d(1, 1))
+    out11 = decompress_image_tiled_2d(codec, params, blob11, make_mesh_2d(2, 2))
+    diff = out.astype(np.int32) - out11.astype(np.int32)
+    assert int((diff != 0).sum()) <= 8
+    assert (diff == 0).all() or np.abs(diff).max() <= 1
+
+
+def test_tile_grid_header_convention():
+    from neural_network_image_compression_tpu.coding.container import (
+        tile_count,
+        tile_grid,
+    )
+
+    assert tile_grid(4) == (1, 4)          # legacy 1-D: bare count
+    assert tile_grid((2 << 8) | 4) == (2, 4)
+    assert tile_count((3 << 8) | 5) == 15
+    assert tile_grid(1) == (1, 1)
