@@ -117,7 +117,12 @@ def measure_tpu(model: str = "gdn") -> dict:
 
         cfg = tpu_native()
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, activation="gdn")
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                activation="gdn",
+                gdn_dtype=os.environ.get("BENCH_GDN_DTYPE", "float32"),
+            ),
         )
     else:
         cfg = Config(model=ModelConfig(compute_dtype="bfloat16", backend="auto"))  # auto==xla in bf16

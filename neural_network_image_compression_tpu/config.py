@@ -41,6 +41,9 @@ class ModelConfig:
     # (models/layers.py GDN) — beyond-reference R-D upgrade.
     activation: str = "preset_default"   # 'preset_default' | 'leaky_relu'
                                          # | 'prelu' | 'gdn'
+    gdn_dtype: str = "float32"           # 'float32' | 'compute' — GDN norm
+                                         # evaluation dtype (serving perf
+                                         # lever for bf16 pipelines)
     clip_latent: bool = True             # clip latent to [0,1] before quantize
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16' for conv compute
     backend: str = "xla"                 # 'xla' | 'pallas' | 'auto' (inference

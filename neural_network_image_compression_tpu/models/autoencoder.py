@@ -45,6 +45,7 @@ class _TransformBase(nn.Module):
     # (the standard Balle placement: no nonlinearity on the latent itself or
     # on the image-domain output, which is clipped separately).
     activation: str = "preset_default"
+    gdn_dtype: str = "float32"  # 'float32' | 'compute' (see layers.GDN)
 
     _GDN_INVERSE = False  # overridden by SynthesisTransform
 
@@ -55,7 +56,10 @@ class _TransformBase(nn.Module):
         if kind == "gdn":
             if final:
                 return x
-            return GDN(inverse=self._GDN_INVERSE, name=name + "_gdn")(x)
+            return GDN(
+                inverse=self._GDN_INVERSE, compute=self.gdn_dtype,
+                name=name + "_gdn",
+            )(x)
         if kind == "prelu":
             return PReLU(init=self.prelu_init, name=name)(x)
         if kind == "leaky_relu":
@@ -187,6 +191,7 @@ def make_transforms(model_cfg) -> tuple[AnalysisTransform, SynthesisTransform]:
         clip_output=model_cfg.clip_latent,
         compute_dtype=model_cfg.compute_dtype,
         activation=getattr(model_cfg, "activation", "preset_default"),
+        gdn_dtype=getattr(model_cfg, "gdn_dtype", "float32"),
     )
     analysis = AnalysisTransform(**kwargs)
     kwargs["clip_output"] = True  # decoder output is always clipped to [0,1]

@@ -223,27 +223,31 @@ class NeuralCodec:
         lat_c = self._apply_analysis(params["analysis_c"], c, column_mask)
         return jnp.concatenate([lat_y, lat_c[:n], lat_c[n:]], axis=3)
 
-    def _pallas_compatible_activation(self) -> bool:
-        """The Pallas kernels fuse the preset's own activation (leaky_relu
-        for 'base', PReLU for 'deep'); any other resolved activation (GDN, or
-        a cross-preset override) routes through the Flax/XLA path."""
+    def _resolved_activation(self) -> str:
         kind = self.cfg.model.activation
         if kind == "preset_default":
-            return True
+            return "prelu" if self.cfg.model.preset == "deep" else "leaky_relu"
+        return kind
+
+    def _pallas_compatible_activation(self) -> bool:
+        """The Pallas kernels fuse the preset's own activation (leaky_relu
+        for 'base', PReLU for 'deep') and support GDN on the 'base' preset
+        via the inter-stage gdn_apply path (ops/pallas_conv.py); other
+        cross-preset overrides route through the Flax/XLA path."""
+        kind = self._resolved_activation()
         native = "prelu" if self.cfg.model.preset == "deep" else "leaky_relu"
-        return kind == native
+        if kind == native:
+            return True
+        return kind == "gdn" and self.cfg.model.preset == "base"
 
     def _apply_analysis(self, p, x, column_mask=None):
         # 'auto' picks the faster engine per transform (measured on v5e,
         # benchmarks/pallas_bench.py): XLA for analysis (the pallas path pays
         # 32x DMA amplification padding the 1-channel input to 128 lanes),
         # pallas for synthesis (phase-decomposed transposed convs beat XLA's
-        # dilated-conv lowering by ~1.2x).
-        if (
-            self.cfg.model.backend == "pallas"
-            and column_mask is None
-            and self._pallas_compatible_activation()
-        ):
+        # dilated-conv lowering by ~1.2x). column_mask (spatial tiling)
+        # passes straight through — the kernels interpose it between stages.
+        if self.cfg.model.backend == "pallas" and self._pallas_compatible_activation():
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
             if self.cfg.model.preset == "base":
@@ -251,8 +255,12 @@ class NeuralCodec:
                     p, x,
                     slope=self.cfg.model.leaky_relu_slope,
                     clip=self.cfg.model.clip_latent,
+                    mask=column_mask,
+                    gdn=self._resolved_activation() == "gdn",
                 )
-            return pc.pallas_analysis_deep(p, x, clip=self.cfg.model.clip_latent)
+            return pc.pallas_analysis_deep(
+                p, x, clip=self.cfg.model.clip_latent, mask=column_mask
+            )
         return self.analysis.apply({"params": p}, x, column_mask)
 
     def _apply_synthesis(self, p, x, column_mask=None):
@@ -265,14 +273,16 @@ class NeuralCodec:
                 and self.cfg.model.compute_dtype == "float32"
             )
         ) and self._pallas_compatible_activation()
-        if use_pallas and column_mask is None:
+        if use_pallas:
             from neural_network_image_compression_tpu.ops import pallas_conv as pc
 
             if self.cfg.model.preset == "base":
                 return pc.pallas_synthesis_base(
-                    p, x, slope=self.cfg.model.leaky_relu_slope, clip=True
+                    p, x, slope=self.cfg.model.leaky_relu_slope, clip=True,
+                    mask=column_mask,
+                    gdn=self._resolved_activation() == "gdn",
                 )
-            return pc.pallas_synthesis_deep(p, x, clip=True)
+            return pc.pallas_synthesis_deep(p, x, clip=True, mask=column_mask)
         return self.synthesis.apply({"params": p}, x, column_mask)
 
     def decode_planes(

@@ -54,6 +54,12 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     gamma_offdiag_sqrt_init: float = 1e-2
+    # 'float32' (default): the norm is evaluated in f32 regardless of the
+    # conv compute dtype — numerically safest, costs two casts per site in
+    # bf16 pipelines. 'compute': evaluate in the input dtype (bf16 on TPU)
+    # with f32 accumulation in the channel-mix matmul — removes the cast
+    # round-trips on the serving path (model.gdn_dtype knob).
+    compute: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -70,14 +76,25 @@ class GDN(nn.Module):
             )
 
         gamma_sqrt = self.param("gamma_sqrt", _gamma_init, (c, c), jnp.float32)
-        xf = x.astype(jnp.float32)
-        norm = jnp.sqrt(
-            self.beta_min
-            + beta_sqrt * beta_sqrt
-            + jnp.einsum("nhwj,ji->nhwi", xf * xf, gamma_sqrt * gamma_sqrt)
+        if self.compute == "float32":
+            xf = x.astype(jnp.float32)
+            norm = jnp.sqrt(
+                self.beta_min
+                + beta_sqrt * beta_sqrt
+                + jnp.einsum("nhwj,ji->nhwi", xf * xf, gamma_sqrt * gamma_sqrt)
+            )
+            out = xf * norm if self.inverse else xf / norm
+            return out.astype(x.dtype)
+        # 'compute' mode: stay in the input dtype; the matmul accumulates in
+        # f32 (preferred_element_type) and only the rsqrt runs per element.
+        g = (gamma_sqrt * gamma_sqrt).astype(x.dtype)
+        mix = jnp.einsum(
+            "nhwj,ji->nhwi", x * x, g, preferred_element_type=jnp.float32
         )
-        out = xf * norm if self.inverse else xf / norm
-        return out.astype(x.dtype)
+        norm = jnp.sqrt(
+            self.beta_min + (beta_sqrt * beta_sqrt) + mix
+        ).astype(x.dtype)
+        return x * norm if self.inverse else x / norm
 
 
 def make_activation(kind: str, slope: float = 0.2, prelu_init: float = 0.2):

@@ -428,39 +428,105 @@ def conv_transpose5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
 # ----------------------------------------------- full transform (base preset)
 
 
-def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=None,
-                         tap_concat=None):
-    """Pallas twin of AnalysisTransform(preset='base').apply — same params
-    pytree (flax naming), same outputs to float tolerance."""
-    g = lambda name: (params[name]["kernel"], params[name]["bias"])
-    x = conv5x5_s2_fused(x, *g("conv1"), slope=slope, interpret=interpret, tap_concat=tap_concat)
-    x = conv5x5_s2_fused(x, *g("conv2"), slope=slope, interpret=interpret, tap_concat=tap_concat)
-    res = x
-    x = conv3x3_s1_fused(x, *g("conv3"), slope=slope, interpret=interpret, tap_concat=tap_concat)
-    # conv4: act then add residual (reference order: x = act(conv4(x)) + res)
-    x = conv3x3_s1_fused(
-        x, *g("conv4"), residual=res, slope=slope, add_before_act=False,
-        interpret=interpret, tap_concat=tap_concat,
+def gdn_apply(p, x, inverse=False, beta_min=1e-6):
+    """XLA-side (I)GDN between Pallas conv stages — numerically identical to
+    models/layers.py GDN (f32 evaluation, same parameterization). The channel
+    mix is one [N*H*W, C] x [C, C] matmul that XLA tiles onto the MXU and
+    fuses with the surrounding elementwise ops; keeping it outside the conv
+    kernels costs one extra HBM round-trip of the stage activation (~5% of
+    the stage's ideal traffic) while the conv FLOPs stay on the fused
+    kernels."""
+    beta_sqrt = p["beta_sqrt"]
+    gamma_sqrt = p["gamma_sqrt"]
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(
+        beta_min
+        + beta_sqrt * beta_sqrt
+        + jnp.einsum("nhwj,ji->nhwi", xf * xf, gamma_sqrt * gamma_sqrt)
     )
-    x = conv5x5_s2_fused(x, *g("conv8"), slope=slope, clip=clip, interpret=interpret, tap_concat=tap_concat)
+    out = xf * norm if inverse else xf / norm
+    return out.astype(x.dtype)
+
+
+def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=None,
+                         tap_concat=None, mask=None, gdn=False):
+    """Pallas twin of AnalysisTransform(preset='base').apply — same params
+    pytree (flax naming), same outputs to float tolerance.
+
+    ``mask``: optional per-stage callable ``(features, cumulative_stride) ->
+    features`` — the spatial-tiling edge mask (parallel/spatial.py), applied
+    between kernel calls exactly where the Flax path applies it (masking
+    commutes with the fused residual add: both summands carry the same
+    keep-pattern at equal stride). ``gdn=True`` uses the (I)GDN activation
+    params (``act*_gdn``) via :func:`gdn_apply` between stages — the
+    flagship's activation on the Pallas conv path."""
+    g = lambda name: (params[name]["kernel"], params[name]["bias"])
+    m = mask if mask is not None else (lambda v, s: v)
+    kw = dict(interpret=interpret, tap_concat=tap_concat)
+    if gdn:
+        gd = lambda name, v: gdn_apply(params[name + "_gdn"], v)
+        x = m(gd("act1", conv5x5_s2_fused(x, *g("conv1"), slope=None, **kw)), 2)
+        x = m(gd("act2", conv5x5_s2_fused(x, *g("conv2"), slope=None, **kw)), 4)
+        res = x
+        x = m(gd("act3", conv3x3_s1_fused(x, *g("conv3"), slope=None, **kw)), 4)
+        x = m(gd("act4", conv3x3_s1_fused(x, *g("conv4"), slope=None, **kw)), 4)
+        x = x + res
+        x = m(conv5x5_s2_fused(x, *g("conv8"), slope=None, clip=clip, **kw), 8)
+        return x
+    x = m(conv5x5_s2_fused(x, *g("conv1"), slope=slope, **kw), 2)
+    x = m(conv5x5_s2_fused(x, *g("conv2"), slope=slope, **kw), 4)
+    res = x
+    x = m(conv3x3_s1_fused(x, *g("conv3"), slope=slope, **kw), 4)
+    # conv4: act then add residual (reference order: x = act(conv4(x)) + res)
+    x = m(
+        conv3x3_s1_fused(
+            x, *g("conv4"), residual=res, slope=slope, add_before_act=False,
+            **kw,
+        ),
+        4,
+    )
+    x = m(conv5x5_s2_fused(x, *g("conv8"), slope=slope, clip=clip, **kw), 8)
     return x
 
 
 def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None,
-                          tap_concat=None):
-    """Pallas twin of SynthesisTransform(preset='base').apply."""
+                          tap_concat=None, mask=None, gdn=False):
+    """Pallas twin of SynthesisTransform(preset='base').apply. ``mask`` and
+    ``gdn`` as in :func:`pallas_analysis_base` (synthesis uses IGDN)."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
-    x = conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=slope, interpret=interpret, tap_concat=tap_concat)
+    m = mask if mask is not None else (lambda v, s: v)
+    kw = dict(interpret=interpret, tap_concat=tap_concat)
+    if gdn:
+        gd = lambda name, v: gdn_apply(params[name + "_gdn"], v, inverse=True)
+        x = m(gd("act1", conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=None, **kw)), 2)
+        res = x
+        x = m(gd("act5", conv3x3_s1_fused(x, *g("dconv5"), slope=None, **kw)), 2)
+        x = m(gd("act6", conv3x3_s1_fused(x, *g("dconv6"), slope=None, **kw)), 2)
+        x = x + res
+        x = m(gd("act7", conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=None, **kw)), 4)
+        x = m(
+            conv_transpose5x5_s2_fused(
+                x, *g("dconv8"), slope=None, clip=clip, **kw
+            ),
+            8,
+        )
+        return x
+    x = m(conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=slope, **kw), 2)
     res = x
-    x = conv3x3_s1_fused(x, *g("dconv5"), slope=slope, interpret=interpret, tap_concat=tap_concat)
-    x = conv3x3_s1_fused(
-        x, *g("dconv6"), residual=res, slope=slope, add_before_act=False,
-        interpret=interpret, tap_concat=tap_concat,
+    x = m(conv3x3_s1_fused(x, *g("dconv5"), slope=slope, **kw), 2)
+    x = m(
+        conv3x3_s1_fused(
+            x, *g("dconv6"), residual=res, slope=slope, add_before_act=False,
+            **kw,
+        ),
+        2,
     )
-    x = conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=slope, interpret=interpret, tap_concat=tap_concat)
-    x = conv_transpose5x5_s2_fused(
-        x, *g("dconv8"), slope=slope, clip=clip, interpret=interpret,
-        tap_concat=tap_concat,
+    x = m(conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=slope, **kw), 4)
+    x = m(
+        conv_transpose5x5_s2_fused(
+            x, *g("dconv8"), slope=slope, clip=clip, **kw
+        ),
+        8,
     )
     return x
 
@@ -469,38 +535,42 @@ def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None,
 
 
 def pallas_analysis_deep(params, x, *, clip=True, interpret=None,
-                         tap_concat=None):
+                         tap_concat=None, mask=None):
     """Pallas twin of AnalysisTransform(preset='deep') — the tf1_13 topology
     (reference tf1_13/src/utils.py:39-58): 16x downsample, PReLU activations,
-    residual stages fused as conv+add-before-PReLU epilogues."""
+    residual stages fused as conv+add-before-PReLU epilogues. ``mask`` as in
+    :func:`pallas_analysis_base` (applied after every fused activation site,
+    matching the Flax path's per-stage placement)."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
     a = lambda name: params[name]["alpha"]
+    m = mask if mask is not None else (lambda v, s: v)
     k = dict(slope="prelu", interpret=interpret, tap_concat=tap_concat)
-    x = conv5x5_s2_fused(x, *g("conv1"), a("act1"), **k)
-    x = conv5x5_s2_fused(x, *g("conv2"), a("act2"), **k)
-    res = conv3x3_s1_fused(x, *g("conv3"), None, a("act3"), **k)
-    x = conv3x3_s1_fused(res, *g("conv4"), x, a("act4"), add_before_act=True, **k)
-    x = conv5x5_s2_fused(x, *g("conv5"), a("act5"), **k)
-    res = conv3x3_s1_fused(x, *g("conv6"), None, a("act6"), **k)
-    x = conv3x3_s1_fused(res, *g("conv7"), x, a("act7"), add_before_act=True, **k)
-    x = conv5x5_s2_fused(x, *g("conv8"), a("act8"), clip=clip, **k)
+    x = m(conv5x5_s2_fused(x, *g("conv1"), a("act1"), **k), 2)
+    x = m(conv5x5_s2_fused(x, *g("conv2"), a("act2"), **k), 4)
+    res = m(conv3x3_s1_fused(x, *g("conv3"), None, a("act3"), **k), 4)
+    x = m(conv3x3_s1_fused(res, *g("conv4"), x, a("act4"), add_before_act=True, **k), 4)
+    x = m(conv5x5_s2_fused(x, *g("conv5"), a("act5"), **k), 8)
+    res = m(conv3x3_s1_fused(x, *g("conv6"), None, a("act6"), **k), 8)
+    x = m(conv3x3_s1_fused(res, *g("conv7"), x, a("act7"), add_before_act=True, **k), 8)
+    x = m(conv5x5_s2_fused(x, *g("conv8"), a("act8"), clip=clip, **k), 16)
     return x
 
 
 def pallas_synthesis_deep(params, x, *, clip=True, interpret=None,
-                          tap_concat=None):
+                          tap_concat=None, mask=None):
     """Pallas twin of SynthesisTransform(preset='deep')
     (reference tf1_13/src/utils.py:60-79). Residual stages use regular convs
     between the transposed-conv upsamples, as in the reference."""
     g = lambda name: (params[name]["kernel"], params[name]["bias"])
     a = lambda name: params[name]["alpha"]
+    m = mask if mask is not None else (lambda v, s: v)
     k = dict(slope="prelu", interpret=interpret, tap_concat=tap_concat)
-    x = conv_transpose5x5_s2_fused(x, *g("dconv1"), a("act1"), **k)
-    res = conv3x3_s1_fused(x, *g("dconv2"), None, a("act2"), **k)
-    x = conv3x3_s1_fused(res, *g("dconv3"), x, a("act3"), add_before_act=True, **k)
-    x = conv_transpose5x5_s2_fused(x, *g("dconv4"), a("act4"), **k)
-    res = conv3x3_s1_fused(x, *g("dconv5"), None, a("act5"), **k)
-    x = conv3x3_s1_fused(res, *g("dconv6"), x, a("act6"), add_before_act=True, **k)
-    x = conv_transpose5x5_s2_fused(x, *g("dconv7"), a("act7"), **k)
-    x = conv_transpose5x5_s2_fused(x, *g("dconv8"), a("act8"), clip=clip, **k)
+    x = m(conv_transpose5x5_s2_fused(x, *g("dconv1"), a("act1"), **k), 2)
+    res = m(conv3x3_s1_fused(x, *g("dconv2"), None, a("act2"), **k), 2)
+    x = m(conv3x3_s1_fused(res, *g("dconv3"), x, a("act3"), add_before_act=True, **k), 2)
+    x = m(conv_transpose5x5_s2_fused(x, *g("dconv4"), a("act4"), **k), 4)
+    res = m(conv3x3_s1_fused(x, *g("dconv5"), None, a("act5"), **k), 4)
+    x = m(conv3x3_s1_fused(res, *g("dconv6"), x, a("act6"), add_before_act=True, **k), 4)
+    x = m(conv_transpose5x5_s2_fused(x, *g("dconv7"), a("act7"), **k), 8)
+    x = m(conv_transpose5x5_s2_fused(x, *g("dconv8"), a("act8"), clip=clip, **k), 16)
     return x

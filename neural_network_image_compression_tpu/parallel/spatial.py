@@ -150,6 +150,7 @@ def tiled_encode(codec, params, rgb_u8: jnp.ndarray, mesh: Mesh,
     return jax.shard_map(
         fn,
         mesh=mesh,
+        check_vma=False,  # pallas_call inside shard_map needs vma checking off
         in_specs=(P(), P(None, None, "spatial", None)),
         out_specs=P(None, None, "spatial", None),
     )(params, rgb_u8)
@@ -189,6 +190,7 @@ def tiled_decode(codec, params, sym_u8: jnp.ndarray, mesh: Mesh,
     return jax.shard_map(
         fn,
         mesh=mesh,
+        check_vma=False,  # pallas_call inside shard_map needs vma checking off
         in_specs=(P(), P(None, None, "spatial", None)),
         out_specs=P(None, None, "spatial", None),
     )(params, sym_u8)
@@ -270,6 +272,7 @@ def tiled_encode_2d(codec, params, rgb_u8: jnp.ndarray, mesh: Mesh,
     return jax.shard_map(
         fn,
         mesh=mesh,
+        check_vma=False,  # pallas_call inside shard_map needs vma checking off
         in_specs=(P(), P(None, "sph", "spw", None)),
         out_specs=P(None, "sph", "spw", None),
     )(params, rgb_u8)
@@ -316,6 +319,7 @@ def tiled_decode_2d(codec, params, sym_u8: jnp.ndarray, mesh: Mesh,
     return jax.shard_map(
         fn,
         mesh=mesh,
+        check_vma=False,  # pallas_call inside shard_map needs vma checking off
         in_specs=(P(), P(None, "sph", "spw", None)),
         out_specs=P(None, "sph", "spw", None),
     )(params, sym_u8)

@@ -184,23 +184,33 @@ def test_explicit_native_activation_keeps_pallas():
         model=ModelConfig(preset="deep", backend="pallas", activation="prelu")
     )
     assert NeuralCodec(cfg2)._pallas_compatible_activation()
-    # cross-preset override or GDN -> XLA
+    # cross-preset override -> XLA
     cfg3 = Config(model=ModelConfig(preset="deep", activation="leaky_relu"))
     assert not NeuralCodec(cfg3)._pallas_compatible_activation()
+    # GDN on the base preset IS pallas-servable (inter-stage gdn_apply);
+    # on the deep preset it still falls back to XLA
     cfg4 = Config(model=ModelConfig(activation="gdn"))
-    assert not NeuralCodec(cfg4)._pallas_compatible_activation()
+    assert NeuralCodec(cfg4)._pallas_compatible_activation()
+    cfg5 = Config(model=ModelConfig(preset="deep", activation="gdn"))
+    assert not NeuralCodec(cfg5)._pallas_compatible_activation()
 
 
-def test_gdn_forces_xla_backend(rng):
-    """backend='pallas'/'auto' must not route a GDN model through the fused
-    leaky_relu Pallas kernels."""
+def test_gdn_pallas_backend_matches_xla(rng):
+    """backend='pallas' on a GDN codec routes through the fused kernels with
+    inter-stage gdn_apply and must reproduce the XLA path's symbols."""
     cfg = _gdn_cfg()
-    cfg = dataclasses.replace(
+    pcfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, backend="pallas")
     )
-    codec = NeuralCodec(cfg)
-    params = codec.init(jax.random.key(0), (16, 16))
+    xcodec = NeuralCodec(cfg)
+    pcodec = NeuralCodec(pcfg)
+    params = xcodec.init(jax.random.key(0), (16, 16))
     img = (rng.random((1, 16, 16, 3)) * 255).astype(np.uint8)
-    sym = codec.encode(params, img)          # would KeyError on act*_gdn params
-    out = codec.decode(params, sym, out_hw=(16, 16))
-    assert out.shape == (1, 16, 16, 3)
+    sym_x = np.asarray(xcodec.encode(params, img))
+    sym_p = np.asarray(pcodec.encode(params, img))
+    diff = sym_p.astype(np.int32) - sym_x.astype(np.int32)
+    assert int((diff != 0).sum()) <= 2 and np.abs(diff).max() <= 1
+    out_x = np.asarray(xcodec.decode(params, sym_x, out_hw=(16, 16)))
+    out_p = np.asarray(pcodec.decode(params, sym_x, out_hw=(16, 16)))
+    diff = out_p.astype(np.int32) - out_x.astype(np.int32)
+    assert int((diff != 0).sum()) <= 4 and (diff == 0).all() or np.abs(diff).max() <= 1
