@@ -25,9 +25,11 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 H, W = 512, 768
 # Serving batch: BENCH_BATCH env overrides. Larger batches fill the MXU
 # better on this model's small-channel convs — measured on-chip (v5 lite,
-# r3 probe runs_r3/bench_probe.log): batch 8 -> 341 img/s (8.6% MFU),
-# 16 -> 445 (11.2%), 32 -> 500 (12.6%).
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+# r3/r4 probes runs_r*/bench_probe.log): base 8 -> 341 img/s (8.6% MFU),
+# 16 -> 445, 32 -> 500, 64 -> 783, 128 -> 1119 (28.2% MFU, hbm-bound);
+# gdn 32 -> 272, 64 -> 498. Default 64: the gdn-128 graph can stall the
+# axon compiler on a cache miss (RESULTS.md §8.1), 64 compiles reliably.
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = 20
 
 
