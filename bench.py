@@ -285,11 +285,42 @@ def measure_torch_baseline() -> float:
     return rate
 
 
+def measure_serving_summary() -> dict:
+    """User-facing serving numbers (container in -> pixels out, including
+    host rANS) on the committed GDN flagship checkpoint — the VERDICT r3
+    item-5 gap: the forward-only metric excludes entropy coding entirely.
+    Skipped cleanly when no checkpoint is available (fresh clones) or when
+    BENCH_SERVING=0."""
+    run = os.environ.get("BENCH_SERVING_RUN", os.path.join(REPO, "runs_r3/gdn_l001"))
+    if os.environ.get("BENCH_SERVING", "1") == "0":
+        return {}
+    if not os.path.isdir(os.path.join(run, "checkpoints")):
+        return {}
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+        from serving_bench import measure_serving
+
+        row = measure_serving(
+            run, "/root/reference/data/kodak_img/kodim21.png", reps=3,
+            engines=("rans64",),
+        )[0]
+        return {
+            "serving_compress_images_per_s": row["compress_images_per_s"],
+            "serving_decompress_images_per_s": row["decompress_images_per_s"],
+            "serving_bpp": row["bpp"],
+        }
+    except Exception as e:  # never fail the headline metric on serving
+        return {"serving_error": f"{type(e).__name__}: {e}"[:120]}
+
+
 def main():
     model = os.environ.get("BENCH_MODEL", "gdn")
     parity = check_pallas_compiled_parity()
     ent_parity = check_pallas_entropy_parity()
     stats = measure_tpu(model)
+    serving = measure_serving_summary()
     base_rate = measure_torch_baseline()
     print(
         json.dumps(
@@ -313,6 +344,7 @@ def main():
                 "pallas_entropy_parity": (
                     f"ok (max_diff {ent_parity['max_diff']:.1e})"
                 ),
+                **serving,
             }
         )
     )

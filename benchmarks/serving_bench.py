@@ -8,31 +8,22 @@ a trained run and splits out the host-coder share, for both stream engines
 (legacy rans32 vs the interleaved rans64 default), so the coder's throughput
 claim is tied to the user-facing numbers.
 
-Usage: python benchmarks/serving_bench.py [--run runs_r2/int_l001]
+Usage: python benchmarks/serving_bench.py [--run runs_r3/gdn_l001]
                                           [--image .../kodim21.png] [--reps N]
-Prints one JSON line per (engine, direction).
+Prints one JSON line per (engine, direction). bench.py imports
+:func:`measure_serving` to fold a serving summary into the driver metric.
 """
 import argparse
 import dataclasses
 import json
 import time
 
-import numpy as np
 
-
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--run", default="runs_r2/int_l001")
-    p.add_argument("--image",
-                   default="/root/reference/data/kodak_img/kodim21.png")
-    p.add_argument("--reps", type=int, default=10)
-    p.add_argument("--cpu", action="store_true")
-    args = p.parse_args()
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+def measure_serving(run: str, image: str, reps: int = 10,
+                    engines=("rans32", "rans64")) -> list[dict]:
+    """Measure compress/decompress wall throughput of a trained run on one
+    image. Returns one dict per engine. Caller picks the platform (set
+    jax.config jax_platforms before calling for CPU)."""
     from neural_network_image_compression_tpu.cli import _load_run
     from neural_network_image_compression_tpu.coding import (
         build_tables,
@@ -42,11 +33,11 @@ def main() -> None:
     from neural_network_image_compression_tpu.data.io import load_image
     from neural_network_image_compression_tpu.models import NeuralCodec
 
-    img = load_image(args.image)
+    img = load_image(image)
     px = img.shape[0] * img.shape[1]
-    codec0, params = _load_run(args.run)
-
-    for engine in ("rans32", "rans64"):
+    codec0, params = _load_run(run)
+    rows = []
+    for engine in engines:
         cfg = codec0.cfg.replace(
             codec=dataclasses.replace(codec0.cfg.codec, coder=engine)
         )
@@ -56,15 +47,16 @@ def main() -> None:
         decompress_image(codec, params, blob, tables=tables)
 
         t0 = time.perf_counter()
-        for _ in range(args.reps):
+        for _ in range(reps):
             blob = compress_image(codec, params, img, tables=tables)
-        t_enc = (time.perf_counter() - t0) / args.reps
+        t_enc = (time.perf_counter() - t0) / reps
         t0 = time.perf_counter()
-        for _ in range(args.reps):
+        for _ in range(reps):
             out = decompress_image(codec, params, blob, tables=tables)
-        t_dec = (time.perf_counter() - t0) / args.reps
+        t_dec = (time.perf_counter() - t0) / reps
         assert out.shape == img.shape
-        print(json.dumps({
+        rows.append({
+            "run": run,
             "engine": engine,
             "bitstream": codec.cfg.codec.bitstream,
             "context": codec.cfg.entropy.context,
@@ -73,7 +65,24 @@ def main() -> None:
             "decompress_images_per_s": round(1 / t_dec, 2),
             "compress_ms": round(1e3 * t_enc, 2),
             "decompress_ms": round(1e3 * t_dec, 2),
-        }))
+        })
+    return rows
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", default="runs_r3/gdn_l001")
+    p.add_argument("--image",
+                   default="/root/reference/data/kodak_img/kodim21.png")
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    for row in measure_serving(args.run, args.image, args.reps):
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
