@@ -129,11 +129,21 @@ def ms_ssim(
 ) -> jnp.ndarray:
     """Multi-scale SSIM per image. a, b: [N,H,W,C].
 
-    Requires min(H, W) >= filter_size * 2**(len(power_factors)-1) just like
-    the TF implementation the reference calls (tf1_13/tests/calc_ssim.py:13).
+    The full 5-scale stack needs min(H, W) >= filter_size * 2**4 = 176 px
+    (the TF implementation the reference calls, tf1_13/tests/calc_ssim.py:13,
+    returns NaN below that); scales that would shrink a side under
+    ``filter_size`` are auto-truncated instead — small images (e.g. the
+    128x128 held-out patch set) degrade gracefully toward single-scale SSIM
+    rather than NaN, matching the trainer's loss behaviour
+    (training/train_step.py _distortion).
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    usable = 1
+    min_hw = min(a.shape[1], a.shape[2])
+    while usable < len(power_factors) and min_hw // (2 ** usable) >= filter_size:
+        usable += 1
+    power_factors = power_factors[:usable]
     n_scales = len(power_factors)
     mcs_or_ssim = []
     for scale in range(n_scales):
