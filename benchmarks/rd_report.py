@@ -60,7 +60,8 @@ def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None,
         png_bpps.append(
             8.0 * png_num_bytes(packed) / (img.shape[0] * img.shape[1])
         )
-    return {
+    files = r.get("files", [])
+    out = {
         "run": run_dir,
         "bitstream": codec.cfg.codec.bitstream,
         "context": codec.cfg.entropy.context
@@ -71,6 +72,11 @@ def report_run(run_dir: str, val_dir: str, adaptive: bool | None = None,
         "mean_ms_ssim": round(r["mean_ms_ssim"], 5),
         "png_rate_same_latents_bpp": round(float(np.mean(png_bpps)), 4),
     }
+    if len(files) > 1:  # spread across the eval set (means +- std)
+        out["std_bpp"] = round(float(np.std([f.bpp for f in files])), 4)
+        out["std_psnr"] = round(float(np.std([f.psnr for f in files])), 3)
+        out["n_images"] = len(files)
+    return out
 
 
 def main() -> None:
