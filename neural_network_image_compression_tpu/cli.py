@@ -234,6 +234,12 @@ def main(argv: list[str] | None = None) -> int:
     p_anchor.add_argument("--input", required=True)
     p_anchor.add_argument("--qualities", default="10,25,50,75,90")
 
+    p_tb = sub.add_parser(
+        "tb", help="convert a run's metrics.jsonl to TensorBoard event files"
+    )
+    p_tb.add_argument("--run", required=True, help="run dir with metrics.jsonl")
+    p_tb.add_argument("--out", default=None, help="event dir (default <run>/tb)")
+
     p_build = sub.add_parser("build-data", help="build a training patch set")
     src = p_build.add_mutually_exclusive_group(required=True)
     src.add_argument("--source", default=None,
@@ -340,6 +346,17 @@ def main(argv: list[str] | None = None) -> int:
         qualities = tuple(int(q) for q in args.qualities.split(","))
         for point in jpeg_rd_curve(args.input, qualities) + [png_rate(args.input)]:
             print(json.dumps(point))
+        return 0
+
+    if args.cmd == "tb":
+        from neural_network_image_compression_tpu.utils.tensorboard import (
+            convert_jsonl,
+        )
+
+        path = convert_jsonl(
+            os.path.join(args.run, "metrics.jsonl"), args.out
+        )
+        print(f"wrote {path}")
         return 0
 
     if args.cmd == "build-data":
