@@ -115,14 +115,13 @@ def measure_tpu(model: str = "gdn") -> dict:
         # The flagship codec (RESULTS.md §7.4): GDN transforms on the
         # unbounded integer symbol grid — the configuration whose R-D curve
         # leads every measured sweep. bench measures ITS serving throughput.
-        from neural_network_image_compression_tpu.config import tpu_native
+        from neural_network_image_compression_tpu.config import flagship
 
-        cfg = tpu_native()
+        cfg = flagship()
         cfg = dataclasses.replace(
             cfg,
             model=dataclasses.replace(
                 cfg.model,
-                activation="gdn",
                 gdn_dtype=os.environ.get("BENCH_GDN_DTYPE", "float32"),
             ),
         )

@@ -267,3 +267,17 @@ def tpu_native(rd_lambda: float = 0.01) -> Config:
         train=TrainConfig(rd_lambda=rd_lambda, rd_lambda_step=0.0),
         codec=CodecConfig(model_id="base-ycbcr-32-int"),
     )
+
+
+# Flagship preset: tpu_native + GDN transforms — the measured best R-D stack
+# (RESULTS.md §7.4/§8.4: GDN+noise+checkerboard dominates every other
+# configuration at every rate; STE diverges with GDN, hyper-side contexts pay
+# a generalization premium). bench.py's default model.
+def flagship(rd_lambda: float = 0.01) -> Config:
+    cfg = tpu_native(rd_lambda)
+    return cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, activation="gdn"
+        ),
+        codec=dataclasses.replace(cfg.codec, model_id="base-gdn-ycbcr-32-int"),
+    )

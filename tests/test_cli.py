@@ -77,3 +77,32 @@ def test_hyperprior_context_choice_accepted():
     assert not (isinstance(ei.value, SystemExit) and ei.value.code == 2), (
         "argparse rejected --entropy-context hyperprior"
     )
+
+
+def test_flagship_preset():
+    from neural_network_image_compression_tpu.config import Config, flagship
+
+    cfg = flagship(0.03)
+    assert cfg.model.activation == "gdn"
+    assert cfg.quantizer.grid == "integer"
+    assert cfg.entropy.context == "checkerboard"
+    assert cfg.train.rd_lambda == 0.03
+    # JSON round-trips
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2.model.activation == "gdn"
+
+
+def test_tb_subcommand(tmp_path):
+    import json as _json
+
+    from neural_network_image_compression_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "metrics.jsonl").write_text(
+        _json.dumps({"loss": 0.5, "step": 1, "epoch": 0}) + "\n"
+    )
+    assert main(["tb", "--run", str(run)]) == 0
+    import os as _os
+
+    assert _os.path.isdir(run / "tb")
