@@ -173,7 +173,8 @@ def measure_tpu(model: str = "gdn") -> dict:
     # traffic vs HBM peak). When both utilizations are low the workload is
     # dispatch/occupancy-bound (many small-grid kernels) and batch size is
     # the lever — which the r3 batch probes confirmed (8->32: +47% rate).
-    hbm_bytes = round_trip_hbm_bytes("base", H, W, itemsize=2)
+    hbm_bytes = round_trip_hbm_bytes("base", H, W, itemsize=2,
+                                     activation=activation)
     hbm_gbps = rate * hbm_bytes / 1e9
     peak_bw = chip_peak_hbm_gbps(kind)
     mfu = (achieved / peak) if peak else None

@@ -138,7 +138,27 @@ def _stack_hbm_bytes(layers, h: int, w: int, transposed_dir: bool,
     return total
 
 
-def round_trip_hbm_bytes(preset: str, h: int, w: int, itemsize: int = 2) -> int:
+def _gdn_hbm_bytes(layers, h: int, w: int, transposed_dir: bool,
+                   itemsize: int) -> int:
+    """Extra HBM traffic of the (I)GDN sites when they do NOT fuse into the
+    adjacent convs (one read + one write of each non-final stage output —
+    the XLA einsum+rsqrt typically fuses partially, so this is the upper
+    bound; the in-kernel Pallas epilogue would make it zero)."""
+    total = 0
+    sized = []
+    for kind, _k, _cin, cout, s in layers:
+        if kind == "T":
+            h, w = h * s, w * s
+        elif not transposed_dir:
+            h, w = -(-h // s), -(-w // s)
+        sized.append((cout, h, w))
+    for cout, hh, ww in sized[:-1]:
+        total += 2 * hh * ww * cout * itemsize
+    return total
+
+
+def round_trip_hbm_bytes(preset: str, h: int, w: int, itemsize: int = 2,
+                         activation: str = "preset_default") -> int:
     """Ideal-fusion HBM bytes moved by a full 3-plane encode+decode of one
     HxW image (activations only; see _stack_hbm_bytes)."""
     if preset == "base":
@@ -149,6 +169,9 @@ def round_trip_hbm_bytes(preset: str, h: int, w: int, itemsize: int = 2) -> int:
         raise ValueError(preset)
     a = _stack_hbm_bytes(ana, h, w, False, itemsize)
     s = _stack_hbm_bytes(syn, h // ds, w // ds, True, itemsize)
+    if activation == "gdn":
+        a += _gdn_hbm_bytes(ana, h, w, False, itemsize)
+        s += _gdn_hbm_bytes(syn, h // ds, w // ds, True, itemsize)
     return 3 * (a + s)
 
 
