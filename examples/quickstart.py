@@ -20,7 +20,10 @@ Training the flagship from scratch (one TPU chip, ~15 min):
         --run-dir runs/my_flagship --epochs 30 --batch-size 64 \
         --rd-lambda 0.01 --rd-lambda-step 0
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
