@@ -100,12 +100,22 @@ class FactorizedEntropyModel(nn.Module):
         self._gates = gates
 
     def _logits(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Monotone chain. u: [C, M] centered symbol values -> logits [C, M]."""
+        """Monotone chain. u: [C, M] centered symbol values -> logits [C, M].
+
+        The einsums are pinned to ``Precision.HIGHEST``: at TPU default
+        precision they run on the MXU in bf16 and the resulting bits are off
+        by up to 0.5/element against the true f32 density (found by the
+        bench.py parity gate — the Pallas kernel, which accumulates in f32,
+        disagreed with this path ON THE CHIP while matching on CPU). The
+        chain is 1->3->3->3->1 wide, so full precision costs nothing."""
         x = u[:, :, None]  # [C, M, 1]
         n_layers = len(self._matrices)
         for k in range(n_layers):
             x = (
-                jnp.einsum("cmi,cio->cmo", x, jax.nn.softplus(self._matrices[k]))
+                jnp.einsum(
+                    "cmi,cio->cmo", x, jax.nn.softplus(self._matrices[k]),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 + self._biases[k]
             )
             if k < n_layers - 1:
