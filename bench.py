@@ -27,9 +27,11 @@ H, W = 512, 768
 # better on this model's small-channel convs — measured on-chip (v5 lite,
 # r3/r4 probes runs_r*/bench_probe.log): base 8 -> 341 img/s (8.6% MFU),
 # 16 -> 445, 32 -> 500, 64 -> 783, 128 -> 1119 (28.2% MFU, hbm-bound);
-# gdn 32 -> 272, 64 -> 498. Default 64: the gdn-128 graph can stall the
-# axon compiler on a cache miss (RESULTS.md §8.1), 64 compiles reliably.
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# gdn 32 -> 272, 64 -> 498, 128 -> 793 (22.6% MFU, hbm-bound). The gdn-128
+# graph can stall the axon compiler on a cache MISS (RESULTS.md §8.1), so
+# measure_tpu enables the persistent jax compilation cache and the round's
+# probes pre-warm it — cache hits load in seconds.
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 ITERS = 20
 
 
@@ -106,6 +108,17 @@ def measure_tpu(model: str = "gdn") -> dict:
     import dataclasses
 
     import jax
+
+    # Persistent compilation cache: the axon compiler intermittently stalls
+    # on large GDN graphs (batch 128); a disk cache warmed by any prior run
+    # makes the compile a fast load instead of a fresh gamble.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/nnic_jax_cache"),
+        ),
+    )
     import jax.numpy as jnp
 
     from neural_network_image_compression_tpu.config import Config, ModelConfig
