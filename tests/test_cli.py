@@ -82,14 +82,20 @@ def test_hyperprior_context_choice_accepted():
 def test_flagship_preset():
     from neural_network_image_compression_tpu.config import Config, flagship
 
-    cfg = flagship(0.03)
+    cfg = flagship(0.01)
     assert cfg.model.activation == "gdn"
     assert cfg.quantizer.grid == "integer"
     assert cfg.entropy.context == "checkerboard"
-    assert cfg.train.rd_lambda == 0.03
+    assert cfg.train.rd_lambda == 0.01
     # JSON round-trips
     cfg2 = Config.from_json(cfg.to_json())
     assert cfg2.model.activation == "gdn"
+    # Low-rate regime switches to the joint context (RESULTS.md §8.7
+    # crossover: joint dominates below ~1.5 bpp / λ >= 0.03).
+    lo = flagship(0.1)
+    assert lo.entropy.context == "joint"
+    assert lo.model.activation == "gdn"
+    assert "joint" in lo.codec.model_id
 
 
 def test_tb_subcommand(tmp_path):
