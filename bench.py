@@ -27,6 +27,7 @@ H, W = 512, 768
 # better on this model's small-channel convs — measured on-chip (v5 lite,
 # r3/r4 probes runs_r*/bench_probe.log): base 8 -> 341 img/s (8.6% MFU),
 # 16 -> 445, 32 -> 500, 64 -> 783, 128 -> 1119 (28.2% MFU, hbm-bound);
+# gdn 256 -> 764 (the curve flattens past 128, so 128 is the sweet spot);
 # gdn 32 -> 272, 64 -> 498, 128 -> 793 (22.6% MFU, hbm-bound). The gdn-128
 # graph can stall the axon compiler on a cache MISS (RESULTS.md §8.1), so
 # measure_tpu enables the persistent jax compilation cache and the round's
