@@ -49,6 +49,19 @@ class ModelConfig:
     backend: str = "xla"                 # 'xla' | 'pallas' | 'auto' (inference
                                          # conv engine; 'auto' = XLA analysis +
                                          # pallas synthesis, fastest on v5e)
+    convt: str = "xla"                   # 'xla' | 'subpixel' — stride-2
+                                         # transposed-conv engine. 'subpixel'
+                                         # runs the mathematically identical
+                                         # phase-decomposed conv at low res +
+                                         # depth-to-space (checkpoint drop-in;
+                                         # layers.SubpixelConvTranspose).
+                                         # Measured on v5e: SLOWER (decode 161
+                                         # vs 103 ms at batch 128) — the TPU
+                                         # conv unit eats input dilation
+                                         # natively and the phase interleave
+                                         # costs unfused HBM shuffles
+                                         # (RESULTS.md §8.9), so 'xla' is the
+                                         # default.
 
     @property
     def downsample(self) -> int:

@@ -25,7 +25,11 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from neural_network_image_compression_tpu.models.layers import GDN, PReLU
+from neural_network_image_compression_tpu.models.layers import (
+    GDN,
+    PReLU,
+    SubpixelConvTranspose,
+)
 
 
 def _dtype(name: str):
@@ -46,6 +50,15 @@ class _TransformBase(nn.Module):
     # on the image-domain output, which is clipped separately).
     activation: str = "preset_default"
     gdn_dtype: str = "float32"  # 'float32' | 'compute' (see layers.GDN)
+    # Stride-2 transposed-conv engine: 'subpixel' computes the identical
+    # result as one low-res conv + depth-to-space instead of XLA's
+    # input-dilated conv over 75% structural zeros (layers.
+    # SubpixelConvTranspose — parameter-compatible, so checkpoints are
+    # drop-in); 'xla' keeps nn.ConvTranspose. On TPU v5e 'xla' measures
+    # FASTER (the conv unit handles input dilation natively; RESULTS.md
+    # §8.9), so it is the default; 'subpixel' is the right engine where
+    # lhs-dilated convs lower poorly.
+    convt: str = "xla"
 
     _GDN_INVERSE = False  # overridden by SynthesisTransform
 
@@ -78,6 +91,13 @@ class _TransformBase(nn.Module):
         )
 
     def _convT(self, features: int, kernel: int, stride: int, name: str):
+        if stride == 2 and self.convt == "subpixel":
+            return SubpixelConvTranspose(
+                features,
+                kernel,
+                dtype=_dtype(self.compute_dtype),
+                name=name,
+            )
         return nn.ConvTranspose(
             features,
             (kernel, kernel),
@@ -192,6 +212,7 @@ def make_transforms(model_cfg) -> tuple[AnalysisTransform, SynthesisTransform]:
         compute_dtype=model_cfg.compute_dtype,
         activation=getattr(model_cfg, "activation", "preset_default"),
         gdn_dtype=getattr(model_cfg, "gdn_dtype", "float32"),
+        convt=getattr(model_cfg, "convt", "xla"),
     )
     analysis = AnalysisTransform(**kwargs)
     kwargs["clip_output"] = True  # decoder output is always clipped to [0,1]

@@ -108,3 +108,93 @@ def make_activation(kind: str, slope: float = 0.2, prelu_init: float = 0.2):
     if kind == "none":
         return lambda x: x
     raise ValueError(f"unknown activation {kind!r}")
+
+
+def _subpixel_taps(k: int) -> tuple[dict, int, int]:
+    """Phase decomposition of a stride-2 SAME transposed conv with odd
+    kernel ``k`` (jax pad rule: pad_a=(k+1)//2, pad_b=(k-1)//2).
+
+    Output index t=2i+p reads dilated-input index d = 2i+p+u-(m+1) for
+    kernel tap u, which is a real input sample x[i+offset] only when d is
+    even, i.e. u has parity (m+1-p) mod 2 and offset=(p+u-m-1)//2. Returns
+    {phase p: [(offset, u), ...]} plus the global (min, max) offset.
+    """
+    m = (k - 1) // 2
+    taps = {}
+    offs = []
+    for p in (0, 1):
+        tp = []
+        for u in range(k):
+            if (p + u - m - 1) % 2 == 0:
+                o = (p + u - m - 1) // 2
+                tp.append((o, u))
+                offs.append(o)
+        taps[p] = tp
+    return taps, min(offs), max(offs)
+
+
+class SubpixelConvTranspose(nn.Module):
+    """Stride-2 SAME transposed conv, computed the MXU-friendly way.
+
+    ``nn.ConvTranspose`` lowers to an input-dilated conv: the full kxk
+    kernel slides over a zero-stuffed input at OUTPUT resolution, so 3/4 of
+    the multiply-accumulates hit structural zeros and the conv grid is 4x
+    larger than the information content. On TPU this made the synthesis
+    transform 1.7x slower than the analysis transform (stage probe,
+    RESULTS.md round 4).
+
+    This module is bit-compatible in parameters (same ``kernel`` HWIO
+    (k,k,cin,cout) and ``bias`` names/shapes as ``nn.ConvTranspose``, so
+    checkpoints are drop-in) and mathematically identical in output: the
+    kernel is sliced into the 4 output phases (even/odd row x even/odd
+    col — the taps that can ever touch a real sample for that phase), the
+    slices run as ONE stride-1 conv at LOW resolution producing 4*cout
+    channels, and a depth-to-space interleave writes the phases back. Same
+    result, ~4x fewer MACs, no zero-stuffed intermediate in HBM.
+    """
+
+    features: int
+    kernel_size: int  # odd
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        k = self.kernel_size
+        if k % 2 == 0:
+            raise ValueError("SubpixelConvTranspose requires an odd kernel")
+        cin, cout = x.shape[-1], self.features
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cin, cout),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (cout,), jnp.float32)
+
+        taps, omin, omax = _subpixel_taps(k)
+        kk = omax - omin + 1
+        # K[du, dv, ci, (p*2+q)*cout+co] = w[u, v, ci, co] for the phase's
+        # valid taps; other positions stay zero. Built at trace time from
+        # the live param (a handful of gathers, fused by XLA).
+        K = jnp.zeros((kk, kk, cin, 4 * cout), w.dtype)
+        for p in (0, 1):
+            for q in (0, 1):
+                ph = p * 2 + q
+                for (ou, u) in taps[p]:
+                    for (ov, v) in taps[q]:
+                        K = K.at[ou - omin, ov - omin, :,
+                                 ph * cout:(ph + 1) * cout].set(w[u, v])
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            K.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((-omin, omax), (-omin, omax)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        n, h, wid, _ = out.shape
+        out = out.reshape(n, h, wid, 2, 2, cout)
+        out = out.transpose(0, 1, 3, 2, 4, 5)  # N, h, p, w, q, co
+        out = out.reshape(n, 2 * h, 2 * wid, cout)
+        return out + b.astype(self.dtype)
