@@ -83,6 +83,7 @@ def _build_config(args) -> "Config":
             preset=args.preset,
             compute_dtype=args.compute_dtype or cfg.model.compute_dtype,
             activation=getattr(args, "activation", None) or cfg.model.activation,
+            convt=getattr(args, "convt", None) or cfg.model.convt,
         ),
         data=dataclasses.replace(cfg.data, train_dir=args.data, val_dir=args.val),
         entropy=dataclasses.replace(
@@ -160,6 +161,10 @@ def main(argv: list[str] | None = None) -> int:
                          help="transform activation override; 'gdn' = divisive "
                               "normalization (IGDN in synthesis), beyond-"
                               "reference R-D preset")
+    p_train.add_argument("--convt", choices=["xla", "subpixel"], default=None,
+                         help="stride-2 transposed-conv engine (see "
+                              "ModelConfig.convt; 'xla' measures faster on "
+                              "v5e, RESULTS.md section 8.9)")
     p_train.add_argument("--surrogate", choices=["noise", "ste", "noise+ste"],
                          default=None,
                          help="decoder-side quantization surrogate "
