@@ -112,6 +112,16 @@ def _build_config(args) -> "Config":
                 if getattr(args, "grad_clip", None) is not None
                 else cfg.train.grad_clip_norm
             ),
+            gdn_lr_scale=(
+                getattr(args, "gdn_lr_scale", None)
+                if getattr(args, "gdn_lr_scale", None) is not None
+                else cfg.train.gdn_lr_scale
+            ),
+            ste_warmup_steps=(
+                getattr(args, "ste_warmup_steps", None)
+                if getattr(args, "ste_warmup_steps", None) is not None
+                else cfg.train.ste_warmup_steps
+            ),
             freeze_transforms=getattr(args, "freeze_transforms", False),
             **(
                 {"val_every_steps": args.val_every_steps}
@@ -169,6 +179,14 @@ def main(argv: list[str] | None = None) -> int:
                          default=None,
                          help="decoder-side quantization surrogate "
                               "(default: the config preset's)")
+    p_train.add_argument("--gdn-lr-scale", type=float, default=None,
+                         dest="gdn_lr_scale",
+                         help="lr multiplier for GDN beta/gamma params only "
+                              "(GDN+STE stabilizer)")
+    p_train.add_argument("--ste-warmup-steps", type=int, default=None,
+                         dest="ste_warmup_steps",
+                         help="with --surrogate noise+ste: steps of noise "
+                              "surrogate before switching to STE")
     p_train.add_argument("--grad-clip", type=float, default=None,
                          dest="grad_clip",
                          help="global-norm gradient clipping (stabilizer "

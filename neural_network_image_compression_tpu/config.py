@@ -143,6 +143,18 @@ class TrainConfig:
     grad_clip_norm: float | None = None  # optax.clip_by_global_norm before
                                          # Adam; stabilizer for GDN+STE runs
                                          # (RESULTS.md r4)
+    gdn_lr_scale: float | None = None    # lr multiplier for GDN beta/gamma
+                                         # params only (separate Adam group);
+                                         # the targeted stabilizer for the
+                                         # GDN+STE divergence (RESULTS.md
+                                         # §8.3: STE's unsmoothed identity
+                                         # gradient amplifies the IGDN
+                                         # multiplicative path)
+    ste_warmup_steps: int = 0            # with surrogate='noise+ste': train
+                                         # the first N steps with the noise
+                                         # surrogate, then switch to STE —
+                                         # lets the GDN scales settle before
+                                         # the raw rounding gradient arrives
     rd_lambda: float = 0.01              # initial rate weight (entropy_loss_coef)
     rd_lambda_step: float = 0.01         # += per epoch (tf2_0/src/training.py:165)
     chroma_lambda: float | None = None   # None => same as rd_lambda. The

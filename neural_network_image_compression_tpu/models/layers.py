@@ -164,6 +164,18 @@ class SubpixelConvTranspose(nn.Module):
         k = self.kernel_size
         if k % 2 == 0:
             raise ValueError("SubpixelConvTranspose requires an odd kernel")
+        if k < 3:
+            # k=1 passes the odd-kernel guard but the phase decomposition
+            # assumes jax's SAME conv-transpose padding pad_a=(k+1)//2, which
+            # only holds for stride <= k-1; at k=1 jax pads pad_a=k-1=0 and
+            # the phases land shifted (measured max|diff| ~4 vs
+            # nn.ConvTranspose). Refuse rather than silently diverge
+            # (ADVICE r4).
+            raise ValueError(
+                "SubpixelConvTranspose requires kernel_size >= 3: the "
+                "stride-2 SAME phase decomposition does not match jax's "
+                "pad rule when stride > kernel_size - 1"
+            )
         cin, cout = x.shape[-1], self.features
         w = self.param(
             "kernel",

@@ -54,28 +54,43 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Adam over all params; with ``freeze_transforms``, the analysis/
     synthesis groups get ``optax.set_to_zero()`` (a true freeze — zeroing
     *gradients* under Adam still produces updates while the first moment
-    decays if the moments were restored nonzero)."""
-    base = optax.adam(cfg.train.learning_rate)
+    decays if the moments were restored nonzero). With ``gdn_lr_scale``,
+    the GDN beta/gamma parameters (module names ``*_gdn``) get their own
+    Adam at ``learning_rate * gdn_lr_scale`` — the targeted damper for the
+    GDN+STE instability (RESULTS.md §8.3: the runaway is specifically the
+    norm parameters amplifying under STE's unsmoothed gradient)."""
+    gdn_scale = getattr(cfg.train, "gdn_lr_scale", None)
     clip = getattr(cfg.train, "grad_clip_norm", None)
-    if clip is not None:
-        base = optax.chain(optax.clip_by_global_norm(clip), base)
-    if not cfg.train.freeze_transforms:
+
+    def adam_at(lr):
+        tx = optax.adam(lr)
+        if clip is not None:
+            # Inside multi_transform the clip norm is over the group's own
+            # subtree — a stricter (per-group) bound than one global norm.
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+        return tx
+
+    base = adam_at(cfg.train.learning_rate)
+    if not cfg.train.freeze_transforms and gdn_scale is None:
         return base
 
     def labels(params):
-        return {
-            k: jax.tree_util.tree_map(
-                lambda _, lbl=(
-                    "freeze" if k.startswith(("analysis", "synthesis")) else "train"
-                ): lbl,
-                v,
-            )
-            for k, v in params.items()
-        }
+        def lbl(path, _):
+            keys = [str(getattr(p, "key", p)) for p in path]
+            if cfg.train.freeze_transforms and keys and keys[0].startswith(
+                ("analysis", "synthesis")
+            ):
+                return "freeze"
+            if gdn_scale is not None and any("_gdn" in k for k in keys):
+                return "gdn"
+            return "train"
 
-    return optax.multi_transform(
-        {"train": base, "freeze": optax.set_to_zero()}, labels
-    )
+        return jax.tree_util.tree_map_with_path(lbl, params)
+
+    groups = {"train": base, "freeze": optax.set_to_zero()}
+    if gdn_scale is not None:
+        groups["gdn"] = adam_at(cfg.train.learning_rate * gdn_scale)
+    return optax.multi_transform(groups, labels)
 
 
 def init_train_state(codec: NeuralCodec, rng: jax.Array, cfg: Config) -> TrainState:
@@ -118,7 +133,9 @@ def _distortion(cfg: Config, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"unknown distortion {kind!r}")
 
 
-def _surrogate(cfg: Config, latent: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+def _surrogate(
+    cfg: Config, latent: jnp.ndarray, key: jax.Array, step: jnp.ndarray | None = None
+) -> jnp.ndarray:
     kind = cfg.quantizer.surrogate
     levels = cfg.quantizer.levels
     grid = cfg.quantizer.grid
@@ -127,8 +144,17 @@ def _surrogate(cfg: Config, latent: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     if kind == "ste":
         return ste_round(latent, levels, grid)
     if kind == "noise+ste":
-        # noise for the rate path handled separately; decoder sees STE
-        return ste_round(latent, levels, grid)
+        # noise for the rate path handled separately; decoder sees STE.
+        # ste_warmup_steps delays the switch: the first N steps use the
+        # smooth noise surrogate so the GDN scales settle before the raw
+        # rounding gradient arrives (the traced ``step`` keeps the program
+        # static — one compile, the branch is a select).
+        ste = ste_round(latent, levels, grid)
+        warm = getattr(cfg.train, "ste_warmup_steps", 0)
+        if warm and step is not None:
+            noise = noise_surrogate(latent, key, levels, grid)
+            return jnp.where(step >= warm, ste, noise)
+        return ste
     raise ValueError(f"unknown surrogate {kind!r}")
 
 
@@ -142,7 +168,7 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
 
     needs_rate_target = (not factorized) and cfg.entropy.regressor_target == "png"
 
-    def loss_fn(params, batch_u8, key, rd_lambda, rate_target=None):
+    def loss_fn(params, batch_u8, key, rd_lambda, rate_target=None, step=None):
         n = batch_u8.shape[0]
         hw_pixels = batch_u8.shape[1] * batch_u8.shape[2]
         # NOTE: keep this split arity in sync with make_rate_latents_fn (the
@@ -159,8 +185,8 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
         lat_y = codec.analysis.apply({"params": params["analysis_y"]}, plane_y)
         lat_c = codec.analysis.apply({"params": params["analysis_c"]}, plane_c)
 
-        noisy_y = _surrogate(cfg, lat_y, k_noise_y)
-        noisy_c = _surrogate(cfg, lat_c, k_noise_c)
+        noisy_y = _surrogate(cfg, lat_y, k_noise_y, step)
+        noisy_c = _surrogate(cfg, lat_c, k_noise_c, step)
 
         dec_y = codec.synthesis.apply({"params": params["synthesis_y"]}, noisy_y)
         dec_c = codec.synthesis.apply({"params": params["synthesis_c"]}, noisy_c)
@@ -247,7 +273,7 @@ def make_train_step(codec: NeuralCodec, cfg: Config) -> Callable:
 
     def _step(state, batch_u8, key, rate_target):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch_u8, key, state.rd_lambda, rate_target
+            state.params, batch_u8, key, state.rd_lambda, rate_target, state.step
         )
         # freeze_transforms is enforced by the optimizer itself
         # (make_optimizer: optax.set_to_zero() on the transform subtrees).

@@ -48,6 +48,15 @@ def test_even_kernel_rejected():
         SubpixelConvTranspose(2, 4).init(jax.random.key(0), x)
 
 
+def test_k1_rejected():
+    # k=1 is odd but jax's SAME conv-transpose pad rule changes when
+    # stride > k-1, so the phase decomposition would silently mismatch
+    # nn.ConvTranspose (ADVICE r4) — must refuse loudly.
+    x = jnp.zeros((1, 4, 4, 2))
+    with pytest.raises(ValueError, match="kernel_size >= 3"):
+        SubpixelConvTranspose(2, 1).init(jax.random.key(0), x)
+
+
 @pytest.mark.parametrize("preset,act", [("base", "preset_default"),
                                         ("base", "gdn"),
                                         ("deep", "preset_default")])
