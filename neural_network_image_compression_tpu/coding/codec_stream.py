@@ -191,11 +191,17 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
                       precision: int,
                       plane_tables: list | None = None,
                       engine: str = rans.DEFAULT_ENGINE,
-                      det: bool = False) -> list[bytes]:
+                      det: bool = False,
+                      mu_idx: tuple | None = None) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, an anchor stream (factorized
     CDFs — or per-image ``plane_tables`` — existing coder) then a context
     stream (mean-shifted residuals coded with scale-binned Gaussian rows
-    through the indexed rANS coder)."""
+    through the indexed rANS coder).
+
+    ``mu_idx`` (optional precomputed full-grid conditionals) lets callers
+    that encode the same symbols twice — the adaptive-table candidate — pay
+    for the context-net evaluation once (it does not depend on the tables;
+    the r4 serving profile showed it dominating compress latency)."""
     levels = codec.levels
     tabs = plane_tables or (cdf_y, cdf_c, cdf_c)
     cch = tabs[0].shape[0]
@@ -203,7 +209,7 @@ def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
     amask = _anchor_mask(h, w)
     nmask = ~amask
     _, scale_cdfs = _codec_scale_tables(codec)
-    mu_full, idx_full = _ctx_mu_idx(codec, params, sym, det)
+    mu_full, idx_full = mu_idx or _ctx_mu_idx(codec, params, sym, det)
     streams: list[bytes] = []
     for p, table in enumerate(tabs):
         plane = np.ascontiguousarray(sym[..., p * cch : (p + 1) * cch])
@@ -325,18 +331,20 @@ def encode_latent_hyper(codec, params, sym: np.ndarray, tables,
                         engine: str = rans.DEFAULT_ENGINE,
                         det: bool = False,
                         z_plane_tables: list | None = None,
-                        z_sym: np.ndarray | None = None) -> list[bytes]:
+                        z_sym: np.ndarray | None = None,
+                        mu_idx: tuple | None = None) -> list[bytes]:
     """[h,w,3C] symbols -> 6 streams: per plane, the hyper-latent stream
     (factorized hyper CDFs — or per-image ``z_plane_tables``, in which case
     ``tables`` may be None) then the main stream (dense mean-shifted
-    residuals through the scale-indexed Gaussian rANS coder)."""
+    residuals through the scale-indexed Gaussian rANS coder).
+    ``mu_idx``: optional precomputed conditionals (see encode_latent_ctx)."""
     levels = codec.levels
     cch = codec.latent_channels
     zc = codec.cfg.entropy.hyper_channels
     h, w = sym.shape[:2]
     if z_sym is None:
         z_sym = hyper_z_symbols(codec, params, sym)
-    mu_full, idx_full = _hyper_mu_idx(codec, params, z_sym, (h, w), det)
+    mu_full, idx_full = mu_idx or _hyper_mu_idx(codec, params, z_sym, (h, w), det)
     _, scale_cdfs = _codec_scale_tables(codec)
     streams: list[bytes] = []
     for p in range(3):
@@ -505,21 +513,27 @@ def encode_latent_joint(codec, params, sym: np.ndarray, tables,
                         engine: str = rans.DEFAULT_ENGINE,
                         det: bool = False,
                         z_plane_tables: list | None = None,
-                        z_sym: np.ndarray | None = None) -> list[bytes]:
+                        z_sym: np.ndarray | None = None,
+                        stages: tuple | None = None) -> list[bytes]:
     """[h,w,3C] symbols -> 9 streams: per plane, the hyper-latent stream
     (factorized hyper CDFs or per-image ``z_plane_tables``), the ANCHOR
     stream (mean-shifted residuals under the hyper Gaussian — the
     checkerboard mode's static factorized tables replaced by a per-position
     conditional), then the NON-ANCHOR stream (residuals under the joint
-    context Gaussian)."""
+    context Gaussian).
+    ``stages``: optional precomputed (mu_h, idx_h, mu_j, idx_j)
+    conditionals (see encode_latent_ctx)."""
     levels = codec.levels
     cch = codec.latent_channels
     zc = codec.cfg.entropy.hyper_channels
     h, w = sym.shape[:2]
     if z_sym is None:
         z_sym = hyper_z_symbols(codec, params, sym)
-    mu_h, idx_h, raw = _joint_stage1(codec, params, z_sym, (h, w), det)
-    mu_j, idx_j = _joint_stage2(codec, params, sym, raw, det)
+    if stages is None:
+        mu_h, idx_h, raw = _joint_stage1(codec, params, z_sym, (h, w), det)
+        mu_j, idx_j = _joint_stage2(codec, params, sym, raw, det)
+    else:
+        mu_h, idx_h, mu_j, idx_j = stages
     amask = _anchor_mask(h, w)
     nmask = ~amask
     _, scale_cdfs = _codec_scale_tables(codec)
@@ -656,11 +670,13 @@ def encode_latent_chan(codec, params, sym: np.ndarray, cdf_y, cdf_c,
                        precision: int,
                        plane_tables: list | None = None,
                        engine: str = rans.DEFAULT_ENGINE,
-                       det: bool = False) -> list[bytes]:
+                       det: bool = False,
+                       mu_idx: tuple | None = None) -> list[bytes]:
     """[h,w,3C] symbols -> 3*S streams: per plane, the slice-0 stream
     (factorized CDFs restricted to the first C/S channels — or per-image
     ``plane_tables``) then one conditional stream per later channel slice
-    (mean-shifted residuals through the scale-indexed Gaussian coder)."""
+    (mean-shifted residuals through the scale-indexed Gaussian coder).
+    ``mu_idx``: optional precomputed conditionals (see encode_latent_ctx)."""
     levels = codec.levels
     cch = codec.latent_channels
     n_slices = codec.context_y.num_slices
@@ -673,7 +689,7 @@ def encode_latent_chan(codec, params, sym: np.ndarray, cdf_y, cdf_c,
             np.ascontiguousarray(t[:width]) for t in (cdf_y, cdf_c, cdf_c)
         )
     _, scale_cdfs = _codec_scale_tables(codec)
-    mu_full, idx_full = _chan_mu_idx(codec, params, sym, det)
+    mu_full, idx_full = mu_idx or _chan_mu_idx(codec, params, sym, det)
     streams: list[bytes] = []
     for p, table in enumerate(tabs):
         plane = sym[..., p * cch : (p + 1) * cch]
@@ -837,6 +853,19 @@ def compress_symbols(codec, params, sym: np.ndarray,
     if hyper or joint:
         encode_fn = encode_latent_joint if joint else encode_latent_hyper
         z_sym = hyper_z_symbols(codec, params, sym)
+        # One conditional evaluation regardless of how many table candidates
+        # get encoded: the context/hyper nets dominate compress latency (r4
+        # serving profile) and their output is table-independent.
+        if joint:
+            mu_h, idx_h, raw = _joint_stage1(
+                codec, params, z_sym, sym.shape[:2], det
+            )
+            mu_j, idx_j = _joint_stage2(codec, params, sym, raw, det)
+            cond_kw = {"stages": (mu_h, idx_h, mu_j, idx_j)}
+        else:
+            cond_kw = {
+                "mu_idx": _hyper_mu_idx(codec, params, z_sym, sym.shape[:2], det)
+            }
         candidate = None
         if force_embed or adaptive_cfg:
             zc = codec.cfg.entropy.hyper_channels
@@ -849,7 +878,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
             z_blobs = [serialize_cdf(t, precision) for t in z_tabs]
             emb = encode_fn(
                 codec, params, sym, None, precision, engine, det=det,
-                z_plane_tables=z_tabs, z_sym=z_sym,
+                z_plane_tables=z_tabs, z_sym=z_sym, **cond_kw,
             )
             candidate = interleave(z_blobs, emb)
         if force_embed:
@@ -859,7 +888,7 @@ def compress_symbols(codec, params, sym: np.ndarray,
                 tables = build_tables(codec, params)
             streams = encode_fn(
                 codec, params, sym, tables, precision, engine, det=det,
-                z_sym=z_sym,
+                z_sym=z_sym, **cond_kw,
             )
             if candidate is not None and (
                 sum(map(len, candidate)) + 4 * 3 < sum(map(len, streams))
@@ -870,16 +899,25 @@ def compress_symbols(codec, params, sym: np.ndarray,
             tables = build_tables(codec, params)
         cdf_y, cdf_c = (tables[0], tables[1]) if tables is not None else (None, None)
 
+        # One conditional evaluation shared by the model-table encode and the
+        # adaptive-table candidate (table-independent; r4 serving profile).
+        if chan:
+            cond = _chan_mu_idx(codec, params, sym, det)
+        elif ctx:
+            cond = _ctx_mu_idx(codec, params, sym, det)
+        else:
+            cond = None
+
         def encode_with(plane_tables):
             if chan:
                 return encode_latent_chan(
                     codec, params, sym, cdf_y, cdf_c, precision, plane_tables,
-                    engine, det=det,
+                    engine, det=det, mu_idx=cond,
                 )
             if ctx:
                 return encode_latent_ctx(
                     codec, params, sym, cdf_y, cdf_c, precision, plane_tables,
-                    engine, det=det,
+                    engine, det=det, mu_idx=cond,
                 )
             return encode_latent(
                 sym, cdf_y, cdf_c, precision, plane_tables, engine

@@ -70,7 +70,7 @@ def test_adaptive_rans_round_trip(rng):
     assert 8 * len(blob) < ent_bits * 1.05 + 64 * 8
 
 
-def test_container_round_trip_adaptive_ctx(rng):
+def test_container_round_trip_adaptive_ctx(rng, jit_forward):
     """Flagship path: integer grid + checkerboard + adaptive tables — the
     container self-describes (flag bit3) and decodes bit-exactly."""
     from neural_network_image_compression_tpu.coding import (
@@ -93,11 +93,11 @@ def test_container_round_trip_adaptive_ctx(rng):
     header, streams = unpack_container(blob)
     assert header.adaptive and header.passes == 3 and len(streams) == 9
     recon = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, rgb[None]))[0]
+    direct = jit_forward(codec, params, rgb)
     np.testing.assert_array_equal(recon, direct)
 
 
-def test_container_round_trip_adaptive_no_ctx(rng):
+def test_container_round_trip_adaptive_no_ctx(rng, jit_forward):
     from neural_network_image_compression_tpu.coding import (
         compress_image,
         decompress_image,
@@ -121,7 +121,7 @@ def test_container_round_trip_adaptive_no_ctx(rng):
     header, streams = unpack_container(blob)
     assert header.adaptive and header.passes == 2 and len(streams) == 6
     recon = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, rgb[None]))[0]
+    direct = jit_forward(codec, params, rgb)
     np.testing.assert_array_equal(recon, direct)
 
 

@@ -103,14 +103,14 @@ def test_plane_bits_structure(chan_codec, rng):
 
 @pytest.mark.parametrize("adaptive", [False, True])
 @pytest.mark.parametrize("det", [False, True])
-def test_bitstream_round_trip(rng, adaptive, det):
+def test_bitstream_round_trip(rng, adaptive, det, jit_forward):
     cfg = _chan_cfg(adaptive=adaptive, det=det)
     codec = NeuralCodec(cfg)
     params = codec.init(jax.random.key(1), (32, 48))
     img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
     blob = compress_image(codec, params, img)
     out = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, img[None]))[0]
+    direct = jit_forward(codec, params, img)
     np.testing.assert_array_equal(out, direct)
 
 

@@ -127,14 +127,14 @@ class TestEndToEnd:
         out = decode_latent(streams, (8, 12), *tables)
         np.testing.assert_array_equal(out, sym)
 
-    def test_compress_decompress_image(self, setup, rng):
+    def test_compress_decompress_image(self, setup, rng, jit_forward):
         codec, params, tables = setup
         rgb = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
         blob = compress_image(codec, params, rgb, tables)
         out = decompress_image(codec, params, blob, tables)
         assert out.shape == rgb.shape and out.dtype == np.uint8
         # bitstream round-trip must equal the direct forward path exactly
-        direct = np.asarray(codec.forward(params, rgb[None]))[0]
+        direct = jit_forward(codec, params, rgb)
         np.testing.assert_array_equal(out, direct)
 
 
@@ -249,7 +249,7 @@ class TestCrypto:
         with pytest.raises(ValueError):
             decrypt(legacy_blob, "not-the-password")
 
-    def test_encrypted_container_end_to_end(self, rng):
+    def test_encrypted_container_end_to_end(self, rng, jit_forward):
         import jax
 
         cfg = Config()
@@ -259,7 +259,7 @@ class TestCrypto:
         rgb = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
         blob = compress_image(codec, params, rgb, tables, password="pw")
         out = decompress_image(codec, params, blob, tables, password="pw")
-        direct = np.asarray(codec.forward(params, rgb[None]))[0]
+        direct = jit_forward(codec, params, rgb)
         np.testing.assert_array_equal(out, direct)
         with pytest.raises(ValueError):
             decompress_image(codec, params, blob, tables)  # no password

@@ -126,10 +126,13 @@ class TestCheckerboardBitstream:
         hdr, _ = unpack_container(blob)
         assert hdr.passes == 2
         recon = decompress_image(codec, params, blob, tables=tables)
+        from neural_network_image_compression_tpu.coding.codec_stream import (
+            jitted_codec_fns,
+        )
+
+        enc, dec = jitted_codec_fns(codec)
         ref = np.asarray(
-            codec.decode(
-                params, codec.encode(params, img[None]), out_hw=img.shape[:2]
-            )
+            dec(params, enc(params, img[None]), out_hw=img.shape[:2])
         )[0]
         np.testing.assert_array_equal(recon, ref)
 
@@ -202,6 +205,7 @@ class TestAutoMode:
         rans_blob = compress_image(codec, params, img, tables=tables, mode="rans")
         from neural_network_image_compression_tpu.coding.codec_stream import (
             _png_stream,
+            jitted_codec_fns,
         )
 
         sym = np.asarray(codec.encode(params, img[None]))[0]
@@ -215,9 +219,8 @@ class TestAutoMode:
             sum(len(b) for b in unpack_container(rans_blob)[1]),
         )
         recon = decompress_image(codec, params, auto, tables=tables)
+        enc, dec = jitted_codec_fns(codec)
         ref = np.asarray(
-            codec.decode(
-                params, codec.encode(params, img[None]), out_hw=img.shape[:2]
-            )
+            dec(params, enc(params, img[None]), out_hw=img.shape[:2])
         )[0]
         np.testing.assert_array_equal(recon, ref)

@@ -73,7 +73,7 @@ def test_plane_rate_bits_includes_side_info(hyper_codec, rng):
     assert np.all(np.asarray(total) > np.asarray(main_only))
 
 
-def test_hyper_bitstream_round_trip_bit_exact(hyper_codec, rng):
+def test_hyper_bitstream_round_trip_bit_exact(hyper_codec, rng, jit_forward):
     from neural_network_image_compression_tpu.coding import (
         compress_image,
         decompress_image,
@@ -88,11 +88,11 @@ def test_hyper_bitstream_round_trip_bit_exact(hyper_codec, rng):
     header, streams = unpack_container(blob)
     assert header.hyper and header.passes == 2 and len(streams) == 6
     recon = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, rgb[None]))[0]
+    direct = jit_forward(codec, params, rgb)
     np.testing.assert_array_equal(recon, direct)
 
 
-def test_hyper_odd_latent_grid(rng):
+def test_hyper_odd_latent_grid(rng, jit_forward):
     """Odd image sizes -> odd latent grids -> hyper decoder crop path."""
     cfg = _hyper_cfg()
     codec = NeuralCodec(cfg)
@@ -105,7 +105,7 @@ def test_hyper_odd_latent_grid(rng):
     rgb = rng.integers(0, 256, (72, 104, 3), dtype=np.uint8)  # lat 9x13
     blob = compress_image(codec, params, rgb)
     recon = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, rgb[None]))[0]
+    direct = jit_forward(codec, params, rgb)
     np.testing.assert_array_equal(recon, direct)
 
 

@@ -104,7 +104,7 @@ def test_plane_bits_raises(joint_codec):
         codec.plane_bits(params, "y", z)
 
 
-def test_joint_bitstream_round_trip_bit_exact(joint_codec, rng):
+def test_joint_bitstream_round_trip_bit_exact(joint_codec, rng, jit_forward):
     codec, params = joint_codec
     rgb = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
     sym = np.asarray(codec.encode(params, rgb[None]))[0]
@@ -113,11 +113,11 @@ def test_joint_bitstream_round_trip_bit_exact(joint_codec, rng):
     assert header.joint and header.hyper
     assert header.passes == 3 and len(streams) == 9
     recon = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, rgb[None]))[0]
+    direct = jit_forward(codec, params, rgb)
     np.testing.assert_array_equal(recon, direct)
 
 
-def test_joint_odd_latent_grid(joint_codec, rng):
+def test_joint_odd_latent_grid(joint_codec, rng, jit_forward):
     """Odd latent grids exercise the hyper-decoder crop and the uneven
     anchor/non-anchor split."""
     codec, params = joint_codec
@@ -127,7 +127,7 @@ def test_joint_odd_latent_grid(joint_codec, rng):
         rgb.shape[:2], mode="rans",
     )
     recon = decompress_image(codec, params, blob)
-    direct = np.asarray(codec.forward(params, rgb[None]))[0]
+    direct = jit_forward(codec, params, rgb)
     np.testing.assert_array_equal(recon, direct)
 
 
@@ -151,9 +151,13 @@ def test_joint_adaptive_z_tables(joint_codec, rng):
             AssertionError("model tables evaluated for adaptive container")
         )
     rec = decompress_image(acodec, params, blob)
-    np.testing.assert_array_equal(
-        rec, np.asarray(codec.forward(params, rgb[None]))[0]
+    from neural_network_image_compression_tpu.coding.codec_stream import (
+        jitted_codec_fns,
     )
+
+    _, dec = jitted_codec_fns(acodec)
+    ref = np.asarray(dec(params, sym[None], out_hw=rgb.shape[:2]))[0]
+    np.testing.assert_array_equal(rec, ref)
 
 
 class TestDet:
