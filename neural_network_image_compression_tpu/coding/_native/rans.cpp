@@ -501,4 +501,59 @@ int64_t rans64_decode_indexed(const uint8_t* in, int64_t in_len, int64_t n,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Lane-parallel format (coding/lane.py; container v3 coder=2): K interleaved
+// 32-bit states with 16-bit renorm, encoded ON the TPU (jnp lax.scan); this
+// is the matching host decoder. Stream: u16 K | u32 states[K] | u16 words in
+// consumption order. Symbol i lives in lane i % K; CDF row of symbol i is
+// rows[i].
+int64_t rans_lane_decode(const uint8_t* in, int64_t in_len, int64_t n,
+                         const int32_t* rows, int32_t n_rows, int32_t levels,
+                         const uint32_t* cdfs, int32_t prob_bits,
+                         const uint8_t* lut, uint8_t* out_symbols) {
+  if (n < 0 || n_rows <= 0 || levels <= 0 || levels > 256 || prob_bits < 9 ||
+      prob_bits > 16 || in_len < 2) {
+    return -1;
+  }
+  const uint32_t k = static_cast<uint32_t>(in[0]) |
+                     (static_cast<uint32_t>(in[1]) << 8);
+  if (k == 0 || in_len < 2 + 4 * static_cast<int64_t>(k)) return -1;
+  std::vector<uint32_t> states(k);
+  const uint8_t* p = in + 2;
+  for (uint32_t l = 0; l < k; ++l) {
+    states[l] = static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+                (static_cast<uint32_t>(p[2]) << 16) |
+                (static_cast<uint32_t>(p[3]) << 24);
+    p += 4;
+  }
+  const uint8_t* words = p;
+  const int64_t n_words = (in_len - 2 - 4 * static_cast<int64_t>(k)) / 2;
+  int64_t wp = 0;
+  const uint32_t mask = (1u << prob_bits) - 1u;
+  const int64_t stride = levels + 1;
+  const uint32_t lower = 1u << 16;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t l = static_cast<uint32_t>(i % k);
+    const int32_t row = rows[i];
+    if (row < 0 || row >= n_rows) return -1;
+    uint32_t x = states[l];
+    const uint32_t slot = x & mask;
+    const uint8_t s = lut[(static_cast<size_t>(row) << prob_bits) + slot];
+    out_symbols[i] = s;
+    const uint32_t* cdf = cdfs + static_cast<int64_t>(row) * stride;
+    const uint32_t start = cdf[s];
+    const uint32_t freq = cdf[s + 1] - start;
+    x = freq * (x >> prob_bits) + slot - start;
+    if (x < lower) {
+      if (wp >= n_words) return -1;
+      const uint32_t w = static_cast<uint32_t>(words[2 * wp]) |
+                         (static_cast<uint32_t>(words[2 * wp + 1]) << 8);
+      x = (x << 16) | w;
+      ++wp;
+    }
+    states[l] = x;
+  }
+  return n;
+}
+
 }  // extern "C"

@@ -51,7 +51,11 @@ Layout (little-endian):
 
 Version history: v1 had no sym_crc and predates the two-pass stream-table
 doubling; v2 adds sym_crc and readers reject any flag bits they do not
-understand (a forward-compat reader must fail cleanly, not misparse).
+understand (a forward-compat reader must fail cleanly, not misparse); v3
+adds an explicit u8 coder id immediately after the flags byte (the flag
+space ran out at two coders) — written only for coders v2 cannot express
+(the on-chip 'lane' engine), so every rans32/rans64 container stays
+byte-identical to v2.
 """
 from __future__ import annotations
 
@@ -60,6 +64,9 @@ from dataclasses import dataclass, field
 
 MAGIC = b"NIC1"
 VERSION = 2
+VERSION_CODER = 3          # emitted when the coder needs the v3 coder byte
+_CODER_IDS = {"rans32": 0, "rans64": 1, "lane": 2}
+_CODER_NAMES = {v: k for k, v in _CODER_IDS.items()}
 # bit0 png, bit1 two-pass context, bit2 hyperprior,
 # bit3 per-image adaptive tables (first stream of each plane is a table),
 # bit4 rans64 coder (64-bit-state 4-way-interleaved streams; clear = the
@@ -175,15 +182,24 @@ def pack_container(header: ContainerHeader, streams: list[bytes]) -> bytes:
             flags |= 8
         if header.coder == "rans64":
             flags |= 16
-        elif header.coder != "rans32":
+        elif header.coder not in _CODER_IDS:
             raise ValueError(f"unknown coder {header.coder!r}")
         if header.det:
             if conditional < 1:
                 raise ValueError("det applies only to conditional containers")
             flags |= 32
+    # v3 only when the coder cannot be expressed by flag bit4 — keeps every
+    # rans32/rans64 container byte-identical to v2.
+    version = VERSION
+    coder_byte = b""
+    if header.kind != "png" and header.coder not in ("rans32", "rans64"):
+        version = VERSION_CODER
+        flags &= ~16
+        coder_byte = struct.pack("<B", _CODER_IDS[header.coder])
     parts = [
         MAGIC,
-        struct.pack("<BB", VERSION, flags),
+        struct.pack("<BB", version, flags),
+        coder_byte,
         struct.pack("<B", len(mid)), mid,
         struct.pack("<B", len(cs)), cs,
         struct.pack(
@@ -212,13 +228,19 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
     pos = 4
     version, flags = struct.unpack_from("<BB", data, pos)
     pos += 2
-    if version not in (1, VERSION):
+    if version not in (1, VERSION, VERSION_CODER):
         raise ValueError(f"unsupported container version {version}")
     if flags & ~_KNOWN_FLAGS:
         raise ValueError(
             f"container uses unknown flag bits 0x{flags & ~_KNOWN_FLAGS:02x}; "
             "refusing to parse (stream layout may differ)"
         )
+    coder_id = None
+    if version >= VERSION_CODER:
+        (coder_id,) = struct.unpack_from("<B", data, pos)
+        pos += 1
+        if coder_id not in _CODER_NAMES:
+            raise ValueError(f"unknown coder id {coder_id}")
     (mlen,) = struct.unpack_from("<B", data, pos)
     pos += 1
     model_id = data[pos : pos + mlen].decode()
@@ -279,7 +301,11 @@ def unpack_container(data: bytes) -> tuple[ContainerHeader, list[bytes]]:
         hyper=bool(flags & 4),
         adaptive=bool(flags & 8),
         sym_crc=sym_crc,
-        coder="rans64" if flags & 16 else "rans32",
+        coder=(
+            _CODER_NAMES[coder_id]
+            if coder_id is not None
+            else ("rans64" if flags & 16 else "rans32")
+        ),
         det=bool(flags & 32),
         joint=bool(flags & 64),
         channel_slices=channel_slices,

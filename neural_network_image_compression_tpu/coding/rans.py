@@ -27,8 +27,10 @@ _lib: ctypes.CDLL | None = None
 #: Engines: 'rans32' is the original byte-wise single-state coder (container
 #: flag bit4 clear); 'rans64' is the 64-bit-state, u32-renorm, 4-way
 #: interleaved coder (flag bit4 set) — same CDF tables, ~3x decode throughput
-#: because the CPU pipelines four independent state chains.
-ENGINES = ("rans32", "rans64")
+#: because the CPU pipelines four independent state chains. 'lane' (container
+#: v3, coder byte 2) is the TPU-native coder: K interleaved 32-bit states
+#: encoded ON the chip as a lax.scan (coding/lane.py); decode is host C++.
+ENGINES = ("rans32", "rans64", "lane")
 DEFAULT_ENGINE = "rans64"
 
 
@@ -95,6 +97,11 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.rans64_decode_indexed.restype = ctypes.c_int64
         lib.rans64_decode_indexed.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int32, u32p, ctypes.c_int32, u8p, u8p,
+        ]
+        lib.rans_lane_decode.restype = ctypes.c_int64
+        lib.rans_lane_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int32, u32p, ctypes.c_int32, u8p, u8p,
         ]
@@ -452,24 +459,49 @@ def decode64_indexed(data: bytes, index: np.ndarray, cdf: np.ndarray,
 # remains self-describing across releases.
 
 
+def _mod_rows(n: int, c: int) -> np.ndarray:
+    return (np.arange(n, dtype=np.int64) % c).astype(np.int32)
+
+
 def stream_encode(symbols, cdf, precision: int = 16,
                   engine: str = DEFAULT_ENGINE) -> bytes:
+    if engine == "lane":
+        from neural_network_image_compression_tpu.coding import lane
+
+        flat = np.ascontiguousarray(symbols, np.uint8).reshape(-1)
+        return lane.encode_lanes(
+            flat, _mod_rows(flat.size, np.asarray(cdf).shape[0]), cdf, precision
+        )
     return (encode if engine == "rans32" else encode64)(symbols, cdf, precision)
 
 
 def stream_decode(data, n, cdf, precision: int = 16,
                   engine: str = DEFAULT_ENGINE) -> np.ndarray:
+    if engine == "lane":
+        from neural_network_image_compression_tpu.coding import lane
+
+        return lane.decode_lanes(
+            data, _mod_rows(n, np.asarray(cdf).shape[0]), cdf, precision
+        )
     return (decode if engine == "rans32" else decode64)(data, n, cdf, precision)
 
 
 def stream_encode_indexed(symbols, index, cdf, precision: int = 16,
                           engine: str = DEFAULT_ENGINE) -> bytes:
+    if engine == "lane":
+        from neural_network_image_compression_tpu.coding import lane
+
+        return lane.encode_lanes(symbols, index, cdf, precision)
     fn = encode_indexed if engine == "rans32" else encode64_indexed
     return fn(symbols, index, cdf, precision)
 
 
 def stream_decode_indexed(data, index, cdf, precision: int = 16,
                           engine: str = DEFAULT_ENGINE) -> np.ndarray:
+    if engine == "lane":
+        from neural_network_image_compression_tpu.coding import lane
+
+        return lane.decode_lanes(data, index, cdf, precision)
     fn = decode_indexed if engine == "rans32" else decode64_indexed
     return fn(data, index, cdf, precision)
 
