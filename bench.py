@@ -314,17 +314,35 @@ def measure_serving_summary() -> dict:
         import sys
 
         sys.path.insert(0, os.path.join(REPO, "benchmarks"))
-        from serving_bench import measure_serving
+        from serving_bench import measure_serving, measure_serving_batch
 
         row = measure_serving(
             run, "/root/reference/data/kodak_img/kodim21.png", reps=3,
             engines=("rans64",),
         )[0]
-        return {
+        out = {
             "serving_compress_images_per_s": row["compress_images_per_s"],
             "serving_decompress_images_per_s": row["decompress_images_per_s"],
             "serving_bpp": row["bpp"],
         }
+        # Batched container-in -> pixels-out (coding/onchip.py): the
+        # user-facing throughput at production batch sizes, with the
+        # entropy-coding loop on-chip (engine 'lane').
+        bb = int(os.environ.get("BENCH_SERVING_BATCH", "64"))
+        if bb:
+            brow = measure_serving_batch(
+                run, "/root/reference/data/kodak_img/kodim21.png",
+                batch=bb, reps=2, engines=("lane",),
+            )[0]
+            out.update({
+                "serving_batch": bb,
+                "serving_batch_compress_images_per_s":
+                    brow["compress_images_per_s"],
+                "serving_batch_decompress_images_per_s":
+                    brow["decompress_images_per_s"],
+                "serving_batch_bpp": brow["bpp"],
+            })
+        return out
     except Exception as e:  # never fail the headline metric on serving
         return {"serving_error": f"{type(e).__name__}: {e}"[:120]}
 

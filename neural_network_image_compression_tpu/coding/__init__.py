@@ -4,7 +4,12 @@ from neural_network_image_compression_tpu.coding.codec_stream import (
     compress_image,
     decode_latent,
     decompress_image,
+    decompress_symbols,
     encode_latent,
+)
+from neural_network_image_compression_tpu.coding.onchip import (
+    compress_batch,
+    decompress_batch,
 )
 from neural_network_image_compression_tpu.coding.container import (
     ContainerHeader,

@@ -532,8 +532,8 @@ int64_t rans_lane_decode(const uint8_t* in, int64_t in_len, int64_t n,
   const uint32_t mask = (1u << prob_bits) - 1u;
   const int64_t stride = levels + 1;
   const uint32_t lower = 1u << 16;
-  for (int64_t i = 0; i < n; ++i) {
-    const uint32_t l = static_cast<uint32_t>(i % k);
+  uint32_t l = 0;  // lane counter: i % k without a per-symbol divide
+  for (int64_t i = 0; i < n; ++i, l = (l + 1 == k) ? 0 : l + 1) {
     const int32_t row = rows[i];
     if (row < 0 || row >= n_rows) return -1;
     uint32_t x = states[l];

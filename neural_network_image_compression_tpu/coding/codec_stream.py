@@ -1012,6 +1012,18 @@ def compress_symbols(codec, params, sym: np.ndarray,
 def decompress_image(codec, params, data: bytes, tables=None,
                      password: str | None = None) -> np.ndarray:
     """Container bytes -> uint8 [H,W,3] reconstruction."""
+    header, sym = decompress_symbols(codec, params, data, tables, password)
+    _, decode_fn = jitted_codec_fns(codec)
+    rgb = decode_fn(params, sym[None], out_hw=(header.orig_h, header.orig_w))
+    return np.asarray(rgb)[0]
+
+
+def decompress_symbols(codec, params, data: bytes, tables=None,
+                       password: str | None = None):
+    """Container bytes -> (header, latent symbols [h,w,3C] uint8): everything
+    except the final synthesis pass. Split out so batched drivers
+    (coding/onchip.py decompress_batch) can thread the host entropy decode
+    per image and run ONE jitted synthesis over the whole batch."""
     from neural_network_image_compression_tpu.coding.crypto import decrypt, is_encrypted
 
     if is_encrypted(data):
@@ -1028,12 +1040,7 @@ def decompress_image(codec, params, data: bytes, tables=None,
 
         packed = np.asarray(Image.open(io.BytesIO(streams[0])))
         sym = np.asarray(unpack_planes(packed[None].astype(np.int32)))[0]
-        sym = sym.astype(np.uint8)
-        _, decode_fn = jitted_codec_fns(codec)
-        rgb = decode_fn(
-            params, sym[None], out_hw=(header.orig_h, header.orig_w)
-        )
-        return np.asarray(rgb)[0]
+        return header, sym.astype(np.uint8)
     # Model tables are only needed when some stream is coded with them:
     # adaptive containers are self-describing (embedded per-image tables for
     # the anchor streams — or, under a hyperprior, for the z streams), which
@@ -1124,6 +1131,4 @@ def decompress_image(codec, params, data: bytes, tables=None,
                 "different symbols than the encoder wrote (two-pass context "
                 "decode requires the same numeric platform as encode)"
             )
-    _, decode_fn = jitted_codec_fns(codec)
-    rgb = decode_fn(params, sym[None], out_hw=(header.orig_h, header.orig_w))
-    return np.asarray(rgb)[0]
+    return header, sym

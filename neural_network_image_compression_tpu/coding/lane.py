@@ -54,42 +54,52 @@ def pick_lanes(n: int) -> int:
 # --------------------------------------------------------------- jnp encoder
 
 
-@functools.lru_cache(maxsize=32)
-def _jit_core(m: int, k: int, rows_shape0: int, lp1: int, precision: int):
-    """Compiled lane-encode core for a fixed (m, K) grid. Returns
-    f(sym2 [m,K] u32, rows2 [m,K] i32, active [m,K] bool, cdf_flat [R*(L+1)]
-    u32) -> (states [K] u32, words [m,K] u16, emit [m,K] bool)."""
+def lane_scan(sym2, rows2, active, cdf_flat, lp1: int, precision: int):
+    """The traceable on-chip encode core: (sym2 [m,K] i32, rows2 [m,K] i32,
+    active [m,K] bool, cdf_flat [R*(L+1)] u32) -> (states [K] u32,
+    words [m,K] u16, emit [m,K] bool). Call inside any jit (the fused
+    serving path vmaps it over a batch); :func:`encode_lanes` wraps it in a
+    standalone cached jit."""
     import jax
     import jax.numpy as jnp
 
     shift = 32 - precision
+    k = sym2.shape[1]
 
-    def core(sym2, rows2, active, cdf_flat):
-        # sym2/rows2 arrive as int32 (gather indices); states/table are u32.
-        def step(states, xs):
-            s, row, act = xs
-            base = row * lp1 + s
-            start = jnp.take(cdf_flat, base)
-            freq = jnp.take(cdf_flat, base + 1) - start
-            freq = jnp.where(act, freq, jnp.uint32(1))
-            # renorm test (x >= freq << shift) without u32 overflow:
-            # floor(x / 2^shift) >= freq  <=>  x >= freq * 2^shift
-            emit = act & ((states >> shift) >= freq)
-            word = (states & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-            x = jnp.where(emit, states >> 16, states)
-            q = x // freq
-            r = x - q * freq
-            x2 = (q << precision) + r + start
-            states = jnp.where(act, x2, states)
-            return states, (word, emit)
+    def step(states, xs):
+        s, row, act = xs
+        base = row * lp1 + s
+        start = jnp.take(cdf_flat, base)
+        freq = jnp.take(cdf_flat, base + 1) - start
+        freq = jnp.where(act, freq, jnp.uint32(1))
+        # renorm test (x >= freq << shift) without u32 overflow:
+        # floor(x / 2^shift) >= freq  <=>  x >= freq * 2^shift
+        emit = act & ((states >> shift) >= freq)
+        word = (states & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        x = jnp.where(emit, states >> 16, states)
+        q = x // freq
+        r = x - q * freq
+        x2 = (q << precision) + r + start
+        states = jnp.where(act, x2, states)
+        return states, (word, emit)
 
-        init = jnp.full((k,), jnp.uint32(_LOWER))
-        states, (words, emits) = jax.lax.scan(
-            step, init, (sym2, rows2, active), reverse=True
+    init = jnp.full((k,), jnp.uint32(_LOWER))
+    states, (words, emits) = jax.lax.scan(
+        step, init, (sym2, rows2, active), reverse=True
+    )
+    return states, words, emits
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_core(m: int, k: int, rows: int, lp1: int, precision: int):
+    """Compiled standalone wrapper of :func:`lane_scan` for a (m, K) grid."""
+    import jax
+
+    return jax.jit(
+        lambda sym2, rows2, active, cdf_flat: lane_scan(
+            sym2, rows2, active, cdf_flat, lp1, precision
         )
-        return states, words, emits
-
-    return jax.jit(core)
+    )
 
 
 def _grid(sym: np.ndarray, rows: np.ndarray, k: int):
