@@ -294,17 +294,37 @@ def tpu_native(rd_lambda: float = 0.01) -> Config:
     )
 
 
+# Measured context crossovers for the GDN flagship stack (base preset,
+# 18.5k-patch split, 30 epochs; RESULTS.md §9.1 — the 4-point λ sweep
+# {0.003, 0.01, 0.03, 0.1} on kodim21 AND the held-out mosaics):
+#   - high rate (>= ~2.5 bpp, λ < 0.02): checkerboard leads (e.g. λ=0.003:
+#     31.66 dB @ 3.60 bpp vs channel 31.12 @ 3.54)
+#   - mid rate (~1.2-2.5 bpp, 0.02 <= λ < 0.07): channel (CHARM) leads —
+#     the round-4 "channel never leads" row came from a run that hung at
+#     epoch 27; trained to 30 epochs it wins +0.5-1.1 dB at equal rate on
+#     kodim21 (e.g. 30.78 dB @ 2.13 bpp vs the checkerboard curve's ~30.1)
+#     and ties/leads on the mosaics
+#   - low rate (< ~1.2 bpp, λ >= 0.07): joint (hyper+checkerboard) dominates
+#     outright (λ=0.1: 26.67 dB @ 0.87 bpp vs checkerboard 26.03 @ 1.15)
+# Boundaries are the λ values of the measured RATE crossovers on this
+# preset/dataset; retrain the sweep before trusting them on another corpus.
+FLAGSHIP_CONTEXT_CROSSOVERS = ((0.07, "joint"), (0.02, "channel"))
+
+
+def flagship_context(rd_lambda: float) -> str:
+    for bound, ctx in FLAGSHIP_CONTEXT_CROSSOVERS:
+        if rd_lambda >= bound:
+            return ctx
+    return "checkerboard"
+
+
 # Flagship preset: tpu_native + GDN transforms — the measured best R-D stack,
-# with the entropy context chosen by the target rate (RESULTS.md §8.7: the
-# full λ-sweep crossover). Above ~1.5 bpp (λ below ~0.03) the checkerboard
-# context dominates; in the low-rate regime (λ=0.1: 0.872 bpp / 26.67 dB vs
-# the checkerboard's 1.149 / 26.03 on kodim21, confirmed on held-out mosaics)
-# the joint hyper+checkerboard context wins because the transmitted hyper
-# latent is proportionally cheap there. STE diverges with GDN (§8.3), so the
+# with the entropy context chosen by the target rate via the measured
+# crossover table above. STE diverges with GDN (RESULTS.md §8.3), so the
 # surrogate stays 'noise'. bench.py's default model.
 def flagship(rd_lambda: float = 0.01) -> Config:
     cfg = tpu_native(rd_lambda)
-    context = "joint" if rd_lambda >= 0.03 else "checkerboard"
+    context = flagship_context(rd_lambda)
     return cfg.replace(
         model=dataclasses.replace(
             cfg.model, activation="gdn"

@@ -90,12 +90,19 @@ def test_flagship_preset():
     # JSON round-trips
     cfg2 = Config.from_json(cfg.to_json())
     assert cfg2.model.activation == "gdn"
-    # Low-rate regime switches to the joint context (RESULTS.md §8.7
-    # crossover: joint dominates below ~1.5 bpp / λ >= 0.03).
+    # Context follows the MEASURED crossover table (RESULTS.md §9.1):
+    # checkerboard at high rate, channel in the mid regime, joint at low
+    # rate. These pins exist so a silent table edit fails a test, not a
+    # user's checkpoint load.
+    mid = flagship(0.03)
+    assert mid.entropy.context == "channel"
+    assert "channel" in mid.codec.model_id
     lo = flagship(0.1)
     assert lo.entropy.context == "joint"
     assert lo.model.activation == "gdn"
     assert "joint" in lo.codec.model_id
+    assert flagship(0.019).entropy.context == "checkerboard"
+    assert flagship(0.069).entropy.context == "channel"
 
 
 def test_tb_subcommand(tmp_path):
