@@ -84,13 +84,26 @@ def _auto_tap(flag, cin):
 
 
 
-def _epilogue(y, b, slope, res, add_before_act, clip):
+def _epilogue(y, b, slope, res, add_before_act, clip,
+              gdn=None, gamma2=None, beta2=None, beta_min=1e-6):
     """slope: None (no activation), a float (leaky_relu), or a [1, Cout]
-    array value (PReLU per-channel alpha, reference tf1_13/src/utils.py:17-25)."""
+    array value (PReLU per-channel alpha, reference tf1_13/src/utils.py:17-25).
+
+    ``gdn``: 'fwd'/'inv' fuses the divisive normalization INTO the kernel —
+    the channel mix ``y^2 @ gamma2`` is one [TH*W, C] x [C, C] MXU matmul on
+    the f32 accumulator, the rsqrt/div runs on the VPU, and the stage
+    activation never round-trips HBM between conv and norm (the round-4
+    bench's residual-bandwidth item). Same formulation as gdn_apply /
+    models/layers.py GDN: y / sqrt(beta_min + beta^2 + y^2 @ gamma^2)
+    (inverse: multiply)."""
     y = y + b
     if res is not None and add_before_act:
         y = y + res
-    if slope is not None:
+    if gdn is not None:
+        mix = jnp.dot(y * y, gamma2, preferred_element_type=jnp.float32)
+        norm = jnp.sqrt(beta_min + beta2 + mix)
+        y = y * norm if gdn == "inv" else y / norm
+    elif slope is not None:
         s = slope[0] if hasattr(slope, "ndim") else slope
         y = jnp.where(y >= 0, y, s * y)
     if res is not None and not add_before_act:
@@ -101,7 +114,7 @@ def _epilogue(y, b, slope, res, add_before_act, clip):
 
 
 def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
-                 TH, acc_dtype=jnp.float32, tap_concat_cin=0):
+                 TH, acc_dtype=jnp.float32, tap_concat_cin=0, gdn=None):
     """``tap_concat_cin``: when nonzero, the REAL (unpadded) input-channel
     count; the kernel then contracts one [TH*W, kh*kw*cin] @ [kh*kw*cin, Cout]
     matmul instead of kh*kw channel-padded per-tap matmuls. For cin < 128
@@ -114,6 +127,9 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
     def kernel(x_any, w_v, b_v, *rest):
         if prelu:
             alpha_v, *rest = rest
+        gamma2_v = beta2_v = None
+        if gdn is not None:
+            gamma2_v, beta2_v, *rest = rest
         if has_res:
             res_any, out_any, stripe, rtile, otile, sem_in, sem_res, sem_out = rest
         else:
@@ -178,7 +194,12 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
         if has_res:
             cp_res.wait()
             res_val = rtile[:].reshape(TH * out_w, cout).astype(acc_dtype)
-        y = _epilogue(acc, b_v[0], act, res_val, add_before_act, clip)
+        y = _epilogue(
+            acc, b_v[0], act, res_val, add_before_act, clip,
+            gdn=gdn,
+            gamma2=gamma2_v[:] if gdn is not None else None,
+            beta2=beta2_v[0] if gdn is not None else None,
+        )
 
         # Double-buffered output: wait for this slot's PREVIOUS write (from
         # two steps ago) before overwriting, then fire and forget; the final
@@ -213,7 +234,7 @@ def _make_kernel(w_shape, out_w, cout, slope, has_res, add_before_act, clip,
 @functools.partial(
     jax.jit,
     static_argnames=("slope", "add_before_act", "clip", "interpret",
-                     "tap_concat"),
+                     "tap_concat", "gdn_inverse"),
 )
 def conv3x3_valid_fused(
     x: jnp.ndarray,
@@ -221,18 +242,24 @@ def conv3x3_valid_fused(
     b: jnp.ndarray,
     residual: jnp.ndarray | None = None,
     alpha: jnp.ndarray | None = None,
+    gdn_gamma2: jnp.ndarray | None = None,
+    gdn_beta2: jnp.ndarray | None = None,
     *,
     slope: float | str | None = 0.2,
     add_before_act: bool = False,
     clip: bool = False,
     interpret: bool = False,
     tap_concat: bool = False,
+    gdn_inverse: bool = False,
 ) -> jnp.ndarray:
     """x [N, H+kh-1, W+kw-1, C] (pre-padded), w [kh,kw,C,Cout], b [Cout]
     -> [N, H, W, Cout] with fused epilogue. H is padded up to a TH multiple
     internally. slope='prelu' uses the per-channel ``alpha`` [Cout] array.
     ``tap_concat``: contract all taps in ONE matmul over kh*kw*C lanes
-    (see _make_kernel) — wins when C % 128 != 0 (removes lane-pad waste)."""
+    (see _make_kernel) — wins when C % 128 != 0 (removes lane-pad waste).
+    ``gdn_gamma2``/``gdn_beta2`` ([Cout,Cout] / [Cout] SQUARED params, i.e.
+    gamma_sqrt**2 / beta_sqrt**2): fuse (I)GDN into the epilogue instead of
+    an activation (``gdn_inverse`` picks IGDN); slope is ignored then."""
     n, hp, wp, cin = x.shape
     kh, kw, _, cout = w.shape
     h = hp - (kh - 1)
@@ -272,6 +299,7 @@ def conv3x3_valid_fused(
         if residual is not None:
             residual = jnp.pad(residual, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
     has_res = residual is not None
+    has_gdn = gdn_gamma2 is not None
     if tap_concat:
         # Rows ordered (ky, kx) row-major, cin-minor — matching the kernel's
         # concat of per-tap slices; a plain reshape of the UNPADDED-cin w.
@@ -280,6 +308,7 @@ def conv3x3_valid_fused(
         (kh, kw, cin_k, cout_k), out_w8, cout_k, slope, has_res,
         add_before_act, clip, TH,
         tap_concat_cin=cin if tap_concat else 0,
+        gdn=("inv" if gdn_inverse else "fwd") if has_gdn else None,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # x (HBM, manual DMA)
@@ -294,6 +323,19 @@ def conv3x3_valid_fused(
             alpha = jnp.pad(alpha, (0, cout_pad))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(alpha.reshape(1, cout_k))
+    if has_gdn:
+        # Zero-padded channels: gamma2 pad rows/cols are zero (no mix
+        # contribution) and beta2 pads are zero, so padded lanes normalize
+        # to 0/sqrt(beta_min) = 0 — sliced off below anyway.
+        g2 = gdn_gamma2.astype(jnp.float32)
+        b2 = gdn_beta2.astype(jnp.float32)
+        if cout_pad:
+            g2 = jnp.pad(g2, ((0, cout_pad), (0, cout_pad)))
+            b2 = jnp.pad(b2, (0, cout_pad))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(g2)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(b2.reshape(1, cout_k))
     # Scratch order must match the kernel's unpack order exactly:
     # [stripe, (rtile), otile, sem_in, (sem_res), sem_out].
     if has_res:
@@ -360,30 +402,43 @@ def _weights_5x5s2_to_3x3(w: jnp.ndarray) -> jnp.ndarray:
     return w3.reshape(3, 3, 4 * c, cout)
 
 
+def _gdn_sq(gdn):
+    """(beta_sqrt [C], gamma_sqrt [C,C]) -> squared VMEM operands."""
+    beta_sqrt, gamma_sqrt = gdn
+    return gamma_sqrt * gamma_sqrt, beta_sqrt * beta_sqrt
+
+
 def conv5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
-                     interpret=None, tap_concat=None):
-    """SAME 5x5 stride-2 conv + epilogue via space-to-depth + core kernel."""
+                     interpret=None, tap_concat=None, gdn=None,
+                     gdn_inverse=False):
+    """SAME 5x5 stride-2 conv + epilogue via space-to-depth + core kernel.
+    ``gdn``: (beta_sqrt, gamma_sqrt) fuses (I)GDN as the epilogue."""
     interpret = _auto_interpret(interpret)
     x4, h_out, w_out = _space_to_depth_for_5x5s2(x)
     w3 = _weights_5x5s2_to_3x3(w)
+    g2, b2 = _gdn_sq(gdn) if gdn is not None else (None, None)
     out = conv3x3_valid_fused(
-        x4, w3, b, None, alpha, slope=slope, clip=clip, interpret=interpret,
+        x4, w3, b, None, alpha, g2, b2,
+        slope=slope, clip=clip, interpret=interpret,
         tap_concat=_auto_tap(tap_concat, x4.shape[-1]),
+        gdn_inverse=gdn_inverse,
     )
     return out[:, :h_out, :w_out]
 
 
 def conv3x3_s1_fused(x, w, b, residual=None, alpha=None, *, slope=0.2,
                      add_before_act=False, clip=False, interpret=None,
-                     tap_concat=None):
+                     tap_concat=None, gdn=None, gdn_inverse=False):
     """SAME 3x3 stride-1 conv + epilogue (also: SAME 3x3/s1 conv-transpose,
     which is the identical operator)."""
     interpret = _auto_interpret(interpret)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    g2, b2 = _gdn_sq(gdn) if gdn is not None else (None, None)
     return conv3x3_valid_fused(
-        xp, w, b, residual, alpha,
+        xp, w, b, residual, alpha, g2, b2,
         slope=slope, add_before_act=add_before_act, clip=clip,
         interpret=interpret, tap_concat=_auto_tap(tap_concat, x.shape[-1]),
+        gdn_inverse=gdn_inverse,
     )
 
 
@@ -406,19 +461,28 @@ def _weights_convT5x5s2_phases(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv_transpose5x5_s2_fused(x, w, b, alpha=None, *, slope=0.2, clip=False,
-                               interpret=None, tap_concat=None):
+                               interpret=None, tap_concat=None, gdn=None,
+                               gdn_inverse=False):
     """SAME 5x5 stride-2 conv-transpose + epilogue via phase decomposition.
-    x [N,h,w,C] -> [N,2h,2w,Cout]."""
+    x [N,h,w,C] -> [N,2h,2w,Cout]. With ``gdn``, each phase block is its own
+    output pixel, so the fused norm uses a block-diagonal gamma (4 copies) —
+    channels mix within a pixel, never across phases."""
     interpret = _auto_interpret(interpret)
     n, h, wd, c = x.shape
     cout = w.shape[3]
     wp = _weights_convT5x5s2_phases(w)
     bp = jnp.tile(b, 4)
     ap = jnp.tile(alpha, 4) if alpha is not None else None
+    g2 = b2 = None
+    if gdn is not None:
+        g2s, b2s = _gdn_sq(gdn)
+        g2 = jax.scipy.linalg.block_diag(*([g2s] * 4))
+        b2 = jnp.tile(b2s, 4)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ph = conv3x3_valid_fused(
-        xp, wp, bp, None, ap, slope=slope, clip=clip, interpret=interpret,
-        tap_concat=_auto_tap(tap_concat, c),
+        xp, wp, bp, None, ap, g2, b2,
+        slope=slope, clip=clip, interpret=interpret,
+        tap_concat=_auto_tap(tap_concat, c), gdn_inverse=gdn_inverse,
     )  # [N, h, w, 4*Cout], channel blocks are (p, q)
     ph = ph.reshape(n, h, wd, 2, 2, cout)
     out = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, cout)
@@ -464,13 +528,25 @@ def pallas_analysis_base(params, x, *, slope=0.2, clip=True, interpret=None,
     m = mask if mask is not None else (lambda v, s: v)
     kw = dict(interpret=interpret, tap_concat=tap_concat)
     if gdn:
-        gd = lambda name, v: gdn_apply(params[name + "_gdn"], v)
-        x = m(gd("act1", conv5x5_s2_fused(x, *g("conv1"), slope=None, **kw)), 2)
-        x = m(gd("act2", conv5x5_s2_fused(x, *g("conv2"), slope=None, **kw)), 4)
+        # (I)GDN fused into each kernel's epilogue (no per-stage HBM
+        # round-trip for the normalization; VERDICT r4 item 3). The conv4
+        # residual add also rides the kernel (after the norm, matching
+        # x = gdn(conv4(x)) + res).
+        gp = lambda name: (
+            params[name + "_gdn"]["beta_sqrt"],
+            params[name + "_gdn"]["gamma_sqrt"],
+        )
+        x = m(conv5x5_s2_fused(x, *g("conv1"), gdn=gp("act1"), **kw), 2)
+        x = m(conv5x5_s2_fused(x, *g("conv2"), gdn=gp("act2"), **kw), 4)
         res = x
-        x = m(gd("act3", conv3x3_s1_fused(x, *g("conv3"), slope=None, **kw)), 4)
-        x = m(gd("act4", conv3x3_s1_fused(x, *g("conv4"), slope=None, **kw)), 4)
-        x = x + res
+        x = m(conv3x3_s1_fused(x, *g("conv3"), gdn=gp("act3"), **kw), 4)
+        x = m(
+            conv3x3_s1_fused(
+                x, *g("conv4"), residual=res, add_before_act=False,
+                gdn=gp("act4"), **kw,
+            ),
+            4,
+        )
         x = m(conv5x5_s2_fused(x, *g("conv8"), slope=None, clip=clip, **kw), 8)
         return x
     x = m(conv5x5_s2_fused(x, *g("conv1"), slope=slope, **kw), 2)
@@ -497,13 +573,22 @@ def pallas_synthesis_base(params, x, *, slope=0.2, clip=True, interpret=None,
     m = mask if mask is not None else (lambda v, s: v)
     kw = dict(interpret=interpret, tap_concat=tap_concat)
     if gdn:
-        gd = lambda name, v: gdn_apply(params[name + "_gdn"], v, inverse=True)
-        x = m(gd("act1", conv_transpose5x5_s2_fused(x, *g("dconv1"), slope=None, **kw)), 2)
+        gp = lambda name: (
+            params[name + "_gdn"]["beta_sqrt"],
+            params[name + "_gdn"]["gamma_sqrt"],
+        )
+        igdn = dict(gdn_inverse=True)
+        x = m(conv_transpose5x5_s2_fused(x, *g("dconv1"), gdn=gp("act1"), **igdn, **kw), 2)
         res = x
-        x = m(gd("act5", conv3x3_s1_fused(x, *g("dconv5"), slope=None, **kw)), 2)
-        x = m(gd("act6", conv3x3_s1_fused(x, *g("dconv6"), slope=None, **kw)), 2)
-        x = x + res
-        x = m(gd("act7", conv_transpose5x5_s2_fused(x, *g("dconv7"), slope=None, **kw)), 4)
+        x = m(conv3x3_s1_fused(x, *g("dconv5"), gdn=gp("act5"), **igdn, **kw), 2)
+        x = m(
+            conv3x3_s1_fused(
+                x, *g("dconv6"), residual=res, add_before_act=False,
+                gdn=gp("act6"), **igdn, **kw,
+            ),
+            2,
+        )
+        x = m(conv_transpose5x5_s2_fused(x, *g("dconv7"), gdn=gp("act7"), **igdn, **kw), 4)
         x = m(
             conv_transpose5x5_s2_fused(
                 x, *g("dconv8"), slope=None, clip=clip, **kw

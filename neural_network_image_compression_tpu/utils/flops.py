@@ -175,6 +175,56 @@ def round_trip_hbm_bytes(preset: str, h: int, w: int, itemsize: int = 2,
     return 3 * (a + s)
 
 
+def stage_table(preset: str, h: int, w: int, itemsize: int = 2,
+                activation: str = "preset_default") -> list[dict]:
+    """Per-stage accounting for ONE colour plane's round trip (VERDICT r4
+    item 3: show where every HBM byte goes). Rows carry the conv FLOPs, the
+    ideal-fusion activation traffic (read input once + write output once),
+    and — for activation='gdn' — the EXTRA traffic when the norm runs as a
+    separate XLA op between stages (one read + one write of the stage
+    output; zero when the Pallas epilogue fuses it)."""
+    if preset == "base":
+        stacks = (("analysis", _BASE_ANALYSIS, False),
+                  ("synthesis", _BASE_SYNTHESIS, True))
+        ds = 8
+    elif preset == "deep":
+        stacks = (("analysis", _DEEP_ANALYSIS, False),
+                  ("synthesis", _DEEP_SYNTHESIS, True))
+        ds = 16
+    else:
+        raise ValueError(preset)
+    rows = []
+    for name, layers, tdir in stacks:
+        hh, ww = (h, w) if not tdir else (h // ds, w // ds)
+        n_layers = len(layers)
+        for li, (kind, k, cin_l, cout, s) in enumerate(layers):
+            in_px = hh * ww
+            if kind == "T":
+                hh, ww = hh * s, ww * s
+            elif not tdir:
+                hh, ww = -(-hh // s), -(-ww // s)
+            out_px = hh * ww
+            # transposed convs cost 2*K*K*Cin*Cout per INPUT pixel (see
+            # _stack_flops); forward convs per OUTPUT pixel
+            flops = 2 * k * k * cin_l * cout * (
+                in_px if kind == "T" else out_px
+            )
+            hbm = (in_px * cin_l + out_px * cout) * itemsize
+            gdn_site = activation == "gdn" and li < n_layers - 1
+            rows.append({
+                "stack": name,
+                "layer": f"{kind}{k}x{k}s{s} {cin_l}->{cout}",
+                "out_hw": (hh, ww),
+                "gflops": flops / 1e9,
+                "hbm_mb_ideal": hbm / 1e6,
+                "gdn_gflops": (2 * cout * cout * out_px / 1e9) if gdn_site else 0.0,
+                "gdn_hbm_mb_unfused": (
+                    2 * out_px * cout * itemsize / 1e6 if gdn_site else 0.0
+                ),
+            })
+    return rows
+
+
 # Peak HBM bandwidth GB/s per chip by device_kind substring (public figures:
 # v2 700, v3 900, v4 1228, v5e 819, v5p 2765, v6e/Trillium 1638).
 PEAK_HBM_GBPS = {
