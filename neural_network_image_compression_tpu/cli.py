@@ -20,7 +20,8 @@ import sys
 
 
 def _load_run(run_dir: str, adaptive: bool | None = None,
-              deterministic: bool | None = None):
+              deterministic: bool | None = None,
+              coder: str | None = None):
     """(codec, params) from a training run directory's latest checkpoint.
 
     ``adaptive`` overrides the stored entropy.adaptive_tables and
@@ -45,6 +46,10 @@ def _load_run(run_dir: str, adaptive: bool | None = None,
     if deterministic is not None:
         cfg = dataclasses.replace(
             cfg, codec=dataclasses.replace(cfg.codec, deterministic=deterministic)
+        )
+    if coder is not None:
+        cfg = dataclasses.replace(
+            cfg, codec=dataclasses.replace(cfg.codec, coder=coder)
         )
     codec = NeuralCodec(cfg)
     store = CheckpointStore(os.path.join(run_dir, "checkpoints"))
@@ -224,6 +229,11 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument("--output", default=None)
     p_comp.add_argument("--password", default=None,
                         help="encrypt containers (authenticated stream cipher)")
+    p_comp.add_argument("--coder", choices=["rans32", "rans64", "lane"],
+                        default=None,
+                        help="stream engine override: 'lane' runs the rANS "
+                             "encode loop on the accelerator "
+                             "(coding/lane.py; container v3)")
     p_comp.add_argument("--adaptive", action="store_true", default=None,
                         help="embed per-image CDF tables when they shrink the "
                              "container (coding-time only; overrides the "
@@ -309,7 +319,8 @@ def main(argv: list[str] | None = None) -> int:
         from neural_network_image_compression_tpu.evaluation import compress_directory
 
         codec, params = _load_run(
-            args.run, adaptive=args.adaptive, deterministic=args.deterministic
+            args.run, adaptive=args.adaptive, deterministic=args.deterministic,
+            coder=args.coder,
         )
         results = compress_directory(
             codec, params, args.input, args.output, password=args.password
