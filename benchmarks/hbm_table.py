@@ -64,48 +64,63 @@ def main():
     from neural_network_image_compression_tpu.config import flagship
     from neural_network_image_compression_tpu.models import NeuralCodec
 
-    rgb = np.random.default_rng(0).integers(
-        0, 256, (args.batch, H, W, 3), dtype=np.uint8
-    )
     kind = jax.devices()[0].device_kind
     fl = round_trip_flops("base", H, W, "gdn")
     hb = round_trip_hbm_bytes("base", H, W, itemsize, "gdn")
+    # The pallas path pads the early convs' channels to the 128-lane MXU
+    # width, which multiplies its peak HBM footprint; batch 128 fits for
+    # XLA but OOMs for pallas on a 16G chip — fall back through smaller
+    # batches per backend and report per-image rates.
     for backend in ("xla", "pallas"):
-        cfg = flagship()
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(
-                cfg.model, backend=backend, compute_dtype=args.dtype
-            ),
-        )
-        codec = NeuralCodec(cfg)
-        params = codec.init(jax.random.key(0), (H, W))
+        for batch in (args.batch, args.batch // 2, args.batch // 4):
+            cfg = flagship()
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, backend=backend, compute_dtype=args.dtype
+                ),
+            )
+            codec = NeuralCodec(cfg)
+            params = codec.init(jax.random.key(0), (H, W))
+            rgb = jax.device_put(
+                np.random.default_rng(0).integers(
+                    0, 256, (batch, H, W, 3), dtype=np.uint8
+                )
+            )
 
-        @jax.jit
-        def run(p, x, i):
-            out = codec.forward(p, x + i.astype(jnp.uint8))
-            return out.astype(jnp.float32).mean()
+            @jax.jit
+            def run(p, x, i):
+                out = codec.forward(p, x + i.astype(jnp.uint8))
+                return out.astype(jnp.float32).mean()
 
-        float(run(params, rgb, jnp.uint8(0)))
-        t0 = time.perf_counter()
-        last = None
-        for i in range(args.iters):
-            last = run(params, rgb, jnp.uint8(i))
-        float(last)
-        dt = time.perf_counter() - t0
-        rate = args.batch * args.iters / dt
-        out = {
-            "backend": backend,
-            "dtype": args.dtype,
-            "batch": args.batch,
-            "images_per_s": round(rate, 1),
-            "mfu": round(rate * fl / 1e12 / (chip_peak_tflops(kind) or 1), 4),
-            "hbm_util_vs_ideal": round(
-                rate * hb / 1e9 / (chip_peak_hbm_gbps(kind) or 1), 4
-            ),
-            "device_kind": kind,
-        }
-        print(json.dumps(out))
+            try:
+                float(run(params, rgb, jnp.uint8(0)))
+            except Exception as e:
+                print(json.dumps({
+                    "backend": backend, "batch": batch,
+                    "error": f"{type(e).__name__}"[:40] + ": " + str(e)[:100],
+                }))
+                continue
+            t0 = time.perf_counter()
+            last = None
+            for i in range(args.iters):
+                last = run(params, rgb, jnp.uint8(i))
+            float(last)
+            dt = time.perf_counter() - t0
+            rate = batch * args.iters / dt
+            out = {
+                "backend": backend,
+                "dtype": args.dtype,
+                "batch": batch,
+                "images_per_s": round(rate, 1),
+                "mfu": round(rate * fl / 1e12 / (chip_peak_tflops(kind) or 1), 4),
+                "hbm_util_vs_ideal": round(
+                    rate * hb / 1e9 / (chip_peak_hbm_gbps(kind) or 1), 4
+                ),
+                "device_kind": kind,
+            }
+            print(json.dumps(out))
+            break
 
 
 if __name__ == "__main__":

@@ -130,8 +130,30 @@ def _anchor_mask(h: int, w: int) -> np.ndarray:
     return (np.add.outer(np.arange(h), np.arange(w)) % 2) == 0
 
 
+def _device_mu_idx(codec, mean, scale):
+    """Traced (mean, scale) -> (mu, idx) ON device — the arithmetic twin of
+    the host derivation below (round/mod/searchsorted/min are exact integer
+    and comparison ops, so device and host evaluation of the same floats
+    cannot differ; gated empirically by test_onchip.py's byte-equality).
+    Keeping the derivation inside the jitted program shrinks the fetch from
+    two f32 grids to two small int grids and removes a host searchsorted
+    over the full latent (~80 ms/image on the serving profile)."""
+    import jax.numpy as jnp
+
+    scale_table, _ = _codec_scale_tables(codec)
+    st = jnp.asarray(np.asarray(scale_table, np.float32))
+    mu = jnp.mod(jnp.round(mean).astype(jnp.int32), codec.levels)
+    idx = jnp.minimum(
+        jnp.searchsorted(st, scale.astype(jnp.float32), side="left"),
+        st.shape[0] - 1,
+    ).astype(jnp.int32)
+    return mu, idx
+
+
 def _ctx_fn(codec):
-    """Jitted (params, sym [1,h,w,3C] uint8) -> (mean, scale) [h,w,3C].
+    """Jitted (params, sym [1,h,w,3C] uint8) -> full-grid (mu i32, idx i32)
+    [h,w,3C] — the checkerboard conditional, derived to coding integers ON
+    device (see _device_mu_idx).
 
     The context nets see only anchor positions (masked inside
     codec.context_params), so running this on the full encoder-side grid and
@@ -156,7 +178,7 @@ def _ctx_fn(codec):
             mc, sc = codec.context_params(params, "c", zc)
             mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
             scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
-            return mean[0], scale[0]
+            return _device_mu_idx(codec, mean[0], scale[0])
 
         fn = jax.jit(f)
         codec._ctx_coding_fn = fn
@@ -164,7 +186,9 @@ def _ctx_fn(codec):
 
 
 def _full_mu_idx(codec, mean: np.ndarray, scale: np.ndarray):
-    """Float-path conditional params -> full-grid (mu int64, idx int32)."""
+    """Float-path conditional params -> full-grid (mu int64, idx int32).
+    Host twin of :func:`_device_mu_idx` (kept for the detnet comparison
+    tests and any caller holding host-side conditionals)."""
     scale_table, _ = _codec_scale_tables(codec)
     mu = np.round(mean).astype(np.int64) % codec.levels
     idx = np.minimum(
@@ -183,8 +207,8 @@ def _ctx_mu_idx(codec, params, sym: np.ndarray, det: bool):
         from neural_network_image_compression_tpu.coding import detnet
 
         return detnet.det_context_params(codec, params, sym)
-    mean, scale = _ctx_fn(codec)(params, sym[None])
-    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+    mu, idx = _ctx_fn(codec)(params, sym[None])
+    return np.asarray(mu, np.int64), np.asarray(idx)
 
 
 def encode_latent_ctx(codec, params, sym: np.ndarray, cdf_y, cdf_c,
@@ -298,7 +322,7 @@ def _hyper_fns(codec):
             mc, sc = codec.hyper_conditional(params, "c", zcc, (h, w))
             mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
             scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
-            return mean[0], scale[0]
+            return _device_mu_idx(codec, mean[0], scale[0])
 
         cached = (jax.jit(enc), jax.jit(cond, static_argnums=(2, 3)))
         codec._hyper_coding_fns = cached
@@ -315,8 +339,8 @@ def _hyper_mu_idx(codec, params, z_sym: np.ndarray, lat_hw: tuple[int, int],
 
         return detnet.det_hyper_conditional(codec, params, z_sym, lat_hw)
     _, cond_fn = _hyper_fns(codec)
-    mean, scale = cond_fn(params, z_sym[None], lat_hw[0], lat_hw[1])
-    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+    mu, idx = cond_fn(params, z_sym[None], lat_hw[0], lat_hw[1])
+    return np.asarray(mu, np.int64), np.asarray(idx)
 
 
 def hyper_z_symbols(codec, params, sym: np.ndarray) -> np.ndarray:
@@ -452,7 +476,8 @@ def _joint_fns(codec):
             mean = jnp.concatenate([m_y, m_c[:1], m_c[1:]], axis=3)
             scale = jnp.concatenate([s_y, s_c[:1], s_c[1:]], axis=3)
             raw = jnp.concatenate([raw_y, raw_c[:1], raw_c[1:]], axis=3)
-            return mean[0], scale[0], raw[0]
+            mu, idx = _device_mu_idx(codec, mean[0], scale[0])
+            return mu, idx, raw[0]
 
         def ctx_part(params, sym, raw):
             z = sym.astype(jnp.float32)
@@ -474,7 +499,7 @@ def _joint_fns(codec):
             m_c, s_c = codec.context_c.apply({"params": params["context_c"]}, cin_c)
             mean = jnp.concatenate([m_y, m_c[:1], m_c[1:]], axis=3)
             scale = jnp.concatenate([s_y, s_c[:1], s_c[1:]], axis=3)
-            return mean[0], scale[0]
+            return _device_mu_idx(codec, mean[0], scale[0])
 
         cached = (
             jax.jit(hyper_part, static_argnums=(2, 3)),
@@ -492,9 +517,8 @@ def _joint_stage1(codec, params, z_sym: np.ndarray, lat_hw: tuple[int, int],
 
         return detnet.det_joint_hyper(codec, params, z_sym, lat_hw)
     hyper_part, _ = _joint_fns(codec)
-    mean, scale, raw = hyper_part(params, z_sym[None], lat_hw[0], lat_hw[1])
-    mu, idx = _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
-    return mu, idx, np.asarray(raw)
+    mu, idx, raw = hyper_part(params, z_sym[None], lat_hw[0], lat_hw[1])
+    return np.asarray(mu, np.int64), np.asarray(idx), raw
 
 
 def _joint_stage2(codec, params, sym: np.ndarray, raw, det: bool):
@@ -504,8 +528,8 @@ def _joint_stage2(codec, params, sym: np.ndarray, raw, det: bool):
 
         return detnet.det_joint_ctx(codec, params, sym, raw)
     _, ctx_part = _joint_fns(codec)
-    mean, scale = ctx_part(params, sym[None], raw)
-    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+    mu, idx = ctx_part(params, sym[None], raw)
+    return np.asarray(mu, np.int64), np.asarray(idx)
 
 
 def encode_latent_joint(codec, params, sym: np.ndarray, tables,
@@ -648,7 +672,7 @@ def _chan_fn(codec, only_slice: int | None = None):
             mc, sc = codec.channel_params(params, "c", zc, only_slice)
             mean = jnp.concatenate([my, mc[:1], mc[1:]], axis=3)
             scale = jnp.concatenate([sy, sc[:1], sc[1:]], axis=3)
-            return mean[0], scale[0]
+            return _device_mu_idx(codec, mean[0], scale[0])
 
         fn = cache[only_slice] = jax.jit(f)
     return fn
@@ -662,8 +686,8 @@ def _chan_mu_idx(codec, params, sym: np.ndarray, det: bool,
         from neural_network_image_compression_tpu.coding import detnet
 
         return detnet.det_channel_params(codec, params, sym, only_slice)
-    mean, scale = _chan_fn(codec, only_slice)(params, sym[None])
-    return _full_mu_idx(codec, np.asarray(mean), np.asarray(scale, np.float32))
+    mu, idx = _chan_fn(codec, only_slice)(params, sym[None])
+    return np.asarray(mu, np.int64), np.asarray(idx)
 
 
 def encode_latent_chan(codec, params, sym: np.ndarray, cdf_y, cdf_c,

@@ -90,6 +90,25 @@ def lane_scan(sym2, rows2, active, cdf_flat, lp1: int, precision: int):
     return states, words, emits
 
 
+def pack_words(words, emit):
+    """Traced on-chip compaction: ([m,K] u16 words, [m,K] bool emit) ->
+    ([m*K] u16 packed, count i32). The packed prefix [:count] is exactly
+    ``words.reshape(-1)[emit.reshape(-1)]`` (the decoder's consumption
+    order); slots >= count hold junk from the masked scatter and are never
+    read. Keeps the host fetch at real-stream size instead of the full
+    words+mask grids (~25x on typical rates)."""
+    import jax.numpy as jnp
+
+    flat_w = words.reshape(-1)
+    flat_e = emit.reshape(-1)
+    cap = flat_w.shape[0]
+    pos = jnp.cumsum(flat_e) - 1
+    dest = jnp.where(flat_e, pos, cap - 1)
+    packed = jnp.zeros(cap, words.dtype).at[dest].set(flat_w, mode="drop")
+    count = jnp.sum(flat_e).astype(jnp.int32)
+    return packed, count
+
+
 @functools.lru_cache(maxsize=32)
 def _jit_core(m: int, k: int, rows: int, lp1: int, precision: int):
     """Compiled standalone wrapper of :func:`lane_scan` for a (m, K) grid."""

@@ -106,13 +106,13 @@ def _fused_lane_fn(codec, n: int, lat_hw: tuple[int, int]):
                 plane = s32[..., p * cch : (p + 1) * cch]
                 a_flat = plane[:, ai, aj, :].reshape(n, n_anchor * cch)
                 a2 = _grid_j(a_flat, m_a, k_a)
-                st, wd, em = jax.vmap(
-                    lambda s: lane.lane_scan(
+                st, pk, ct = jax.vmap(
+                    lambda s: _scan_pack(
                         s, jnp.asarray(rows_a[p]), jnp.asarray(act_a),
                         cdf_yc_flat, lp1, precision,
                     )
                 )(a2)
-                outs_a.append((st, wd, em))
+                outs_a.append((st, pk, ct))
                 mu_p = mu[..., p * cch : (p + 1) * cch]
                 idx_p = idx[..., p * cch : (p + 1) * cch]
                 nn = plane[:, ni, nj, :].reshape(n, n_non * cch)
@@ -121,13 +121,13 @@ def _fused_lane_fn(codec, n: int, lat_hw: tuple[int, int]):
                 idx_f = idx_p[:, ni, nj, :].reshape(n, n_non * cch)
                 w2 = _grid_j(wsym, m_c, k_c)
                 r2 = _grid_j(idx_f, m_c, k_c)
-                st, wd, em = jax.vmap(
-                    lambda s, r: lane.lane_scan(
+                st, pk, ct = jax.vmap(
+                    lambda s, r: _scan_pack(
                         s, r, jnp.asarray(act_c), scale_cdf_flat, lp1,
                         precision,
                     )
                 )(w2, r2)
-                outs_c.append((st, wd, em))
+                outs_c.append((st, pk, ct))
             return outs_a, outs_c
 
         fn = jax.jit(fused)
@@ -150,18 +150,51 @@ def _fused_lane_fn(codec, n: int, lat_hw: tuple[int, int]):
             for p in range(3):
                 plane = s32[..., p * cch : (p + 1) * cch].reshape(n, n_sym)
                 p2 = _grid_j(plane, m_p, k_p)
-                st, wd, em = jax.vmap(
-                    lambda s: lane.lane_scan(
+                st, pk, ct = jax.vmap(
+                    lambda s: _scan_pack(
                         s, jnp.asarray(rows_p[p]), jnp.asarray(act_p),
                         cdf_yc_flat, lp1, precision,
                     )
                 )(p2)
-                outs.append((st, wd, em))
+                outs.append((st, pk, ct))
             return outs
 
         fn = jax.jit(fused)
     cache[key] = fn
     return fn
+
+
+def _scan_pack(sym2, rows2, active, cdf_flat, lp1, precision):
+    """lane_scan + on-chip word compaction: returns (states [K] u32,
+    packed [m*K] u16, count i32) — only the [:count] prefix (plus states)
+    ever crosses to the host."""
+    st, wd, em = lane.lane_scan(sym2, rows2, active, cdf_flat, lp1, precision)
+    pk, ct = lane.pack_words(wd, em)
+    return st, pk, ct
+
+
+def _fetch_packed(out) -> tuple:
+    """(states, packed, counts) device triple -> host, fetching only the
+    used word-prefix: counts first (tiny), then packed[:, :max(counts)] as
+    one device-side slice + transfer."""
+    st_d, pk_d, ct_d = out
+    counts = np.asarray(ct_d)
+    maxc = int(counts.max()) if counts.size else 0
+    packed = np.asarray(pk_d[:, :maxc]) if maxc else np.zeros(
+        (counts.shape[0], 0), np.uint16
+    )
+    return np.asarray(st_d), packed, counts
+
+
+def _stream_bytes(fetched: tuple, i: int) -> bytes:
+    """Assemble one image's lane stream from the fetched packed triple."""
+    states, packed, counts = fetched
+    k = states.shape[1]
+    return (
+        int(k).to_bytes(2, "little")
+        + states[i].astype("<u4").tobytes()
+        + packed[i, : counts[i]].astype("<u2").tobytes()
+    )
 
 
 def _pad_grid(flat: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -230,26 +263,17 @@ def compress_batch(codec, params, imgs: np.ndarray, tables=None,
     fn = _fused_lane_fn(codec, n, tuple(sym_d.shape[1:3]))
 
     if ctx:
-        scale_table, scale_cdfs = cs._codec_scale_tables(codec)
+        _, scale_cdfs = cs._codec_scale_tables(codec)
         # Conditionals via the SAME per-image executable the decoder uses —
-        # bit-identical mu/idx on both sides (see module docstring). The
-        # mu/idx derivation (round, mod, searchsorted) is exact arithmetic
-        # on those floats, so device vs host evaluation cannot differ.
+        # bit-identical mu/idx on both sides (see module docstring); the
+        # executable already derives the coding integers on device
+        # (codec_stream._device_mu_idx).
         ctx_fn = cs._ctx_fn(codec)
-        st_dev = jnp.asarray(np.asarray(scale_table, np.float32))
         mu_list, idx_list = [], []
         for i in range(n):
-            # _ctx_fn returns [h,w,3C] (already squeezed)
-            mean_i, scale_i = ctx_fn(params, sym_d[i : i + 1])
-            mu_list.append(
-                jnp.mod(jnp.round(mean_i).astype(jnp.int32), levels)
-            )
-            idx_list.append(
-                jnp.minimum(
-                    jnp.searchsorted(st_dev, scale_i, side="left"),
-                    st_dev.shape[0] - 1,
-                ).astype(jnp.int32)
-            )
+            mu_i, idx_i = ctx_fn(params, sym_d[i : i + 1])
+            mu_list.append(mu_i)
+            idx_list.append(idx_i)
         mu = jnp.stack(mu_list)
         idx = jnp.stack(idx_list)
         outs_a, outs_c = fn(
@@ -258,12 +282,12 @@ def compress_batch(codec, params, imgs: np.ndarray, tables=None,
             mu, idx,
         )
         sym = np.asarray(sym_d)
-        outs_a = [[np.asarray(x) for x in o] for o in outs_a]
-        outs_c = [[np.asarray(x) for x in o] for o in outs_c]
+        outs_a = [_fetch_packed(o) for o in outs_a]
+        outs_c = [_fetch_packed(o) for o in outs_c]
     else:
         outs = fn(sym_d, cdf_dev)
         sym = np.asarray(sym_d)
-        outs = [[np.asarray(x) for x in o] for o in outs]
+        outs = [_fetch_packed(o) for o in outs]
 
     blobs = []
     eng = "lane"
@@ -271,13 +295,10 @@ def compress_batch(codec, params, imgs: np.ndarray, tables=None,
         streams = []
         for p in range(3):
             if ctx:
-                st, wd, em = (o[i] for o in outs_a[p])
-                streams.append(lane._assemble(st.shape[0], st, wd, em))
-                st, wd, em = (o[i] for o in outs_c[p])
-                streams.append(lane._assemble(st.shape[0], st, wd, em))
+                streams.append(_stream_bytes(outs_a[p], i))
+                streams.append(_stream_bytes(outs_c[p], i))
             else:
-                st, wd, em = (o[i] for o in outs[p])
-                streams.append(lane._assemble(st.shape[0], st, wd, em))
+                streams.append(_stream_bytes(outs[p], i))
         header = ContainerHeader(
             model_id=codec.cfg.codec.model_id,
             colorspace=codec.colorspace.name,
