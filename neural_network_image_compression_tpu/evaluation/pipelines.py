@@ -70,27 +70,65 @@ def compress_directory(
         tables = build_tables(codec, params)
     results = []
     shape_index: dict[str, list[int]] = {}
-    for name in list_images(dataset_path):
-        img = load_image(os.path.join(dataset_path, name))
-        if img is None:
-            continue
-        stem = os.path.splitext(name)[0]
-        pixels = img.shape[0] * img.shape[1]
-        if mode in ("rans", "auto"):
-            blob = compress_image(codec, params, img, tables, password=password)
-            out_path = os.path.join(output_dir, stem + ".nic")
-            with open(out_path, "wb") as f:
+    if mode in ("rans", "auto"):
+        # Shape-grouped batched compression (coding/onchip.py): one jitted
+        # analysis pass per group — fully fused with the lane coder, a
+        # threaded host coder otherwise. 'auto' containers need the
+        # per-image PNG-candidate decision, so they stay per-image.
+        from neural_network_image_compression_tpu.coding.onchip import (
+            compress_batch,
+        )
+
+        stems, images = [], []
+        for name in list_images(dataset_path):
+            img = load_image(os.path.join(dataset_path, name))
+            if img is None:
+                continue
+            stems.append(os.path.splitext(name)[0])
+            images.append(img)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, img in enumerate(images):
+            groups.setdefault(tuple(img.shape[:2]), []).append(i)
+        blobs: dict[int, bytes] = {}
+        if mode == "auto":
+            for i, img in enumerate(images):
+                blobs[i] = compress_image(
+                    codec, params, img, tables, password=password
+                )
+        else:
+            for _, idxs in groups.items():
+                batch = np.stack([images[i] for i in idxs])
+                for i, blob in zip(idxs, compress_batch(
+                    codec, params, batch, tables=tables
+                )):
+                    if password is not None:
+                        from neural_network_image_compression_tpu.coding.crypto import (
+                            encrypt,
+                        )
+
+                        blob = encrypt(blob, password)
+                    blobs[i] = blob
+        for i, stem in enumerate(stems):
+            blob = blobs[i]
+            with open(os.path.join(output_dir, stem + ".nic"), "wb") as f:
                 f.write(blob)
-            num_bytes = len(blob)
-        elif mode == "png":
+            pixels = images[i].shape[0] * images[i].shape[1]
+            results.append(FileResult(stem, len(blob), 8.0 * len(blob) / pixels))
+    elif mode == "png":
+        for name in list_images(dataset_path):
+            img = load_image(os.path.join(dataset_path, name))
+            if img is None:
+                continue
+            stem = os.path.splitext(name)[0]
+            pixels = img.shape[0] * img.shape[1]
             encode_fn, _ = _jitted_codec_fns(codec)
             sym = np.asarray(encode_fn(params, img[None]))
             packed = np.asarray(pack_planes(jnp.asarray(sym)))[0]
             num_bytes = save_png(packed, os.path.join(output_dir, stem + ".png"))
             shape_index[stem] = [int(img.shape[0]), int(img.shape[1])]
-        else:
-            raise ValueError(f"unknown bitstream mode {mode!r}")
-        results.append(FileResult(stem, num_bytes, 8.0 * num_bytes / pixels))
+            results.append(FileResult(stem, num_bytes, 8.0 * num_bytes / pixels))
+    else:
+        raise ValueError(f"unknown bitstream mode {mode!r}")
     with open(os.path.join(output_dir, "val_bpp.txt"), "w") as f:
         for r in results:
             f.write(f"{r.name}\t{r.bpp}\n")
@@ -139,15 +177,42 @@ def decompress_directory(
         with open(shapes_path) as f:
             shape_index = {k: tuple(v) for k, v in _json.load(f).items()}
     written = []
+    if mode in ("rans", "auto"):
+        # Batched decode: threaded host entropy decode + one jitted
+        # synthesis per shape group (coding/onchip.py).
+        from neural_network_image_compression_tpu.coding.onchip import (
+            decompress_batch,
+        )
+
+        stems, datas = [], []
+        for name in sorted(os.listdir(compressed_path)):
+            stem, ext = os.path.splitext(name)
+            if ext != ".nic":
+                continue
+            with open(os.path.join(compressed_path, name), "rb") as f:
+                datas.append(f.read())
+            stems.append(stem)
+        if datas:
+            if password is not None:
+                from neural_network_image_compression_tpu.coding.crypto import (
+                    decrypt,
+                    is_encrypted,
+                )
+
+                datas = [
+                    decrypt(d, password) if is_encrypted(d) else d
+                    for d in datas
+                ]
+            outs = decompress_batch(codec, params, datas, tables=tables)
+            for stem, rgb in zip(stems, outs):
+                out_path = os.path.join(output_dir, stem + ".png")
+                save_png(rgb, out_path, optimize=False)
+                written.append(out_path)
+        return written
     for name in sorted(os.listdir(compressed_path)):
         stem, ext = os.path.splitext(name)
         path = os.path.join(compressed_path, name)
-        if mode in ("rans", "auto") and ext == ".nic":
-            with open(path, "rb") as f:
-                rgb = decompress_image(
-                    codec, params, f.read(), tables, password=password
-                )
-        elif mode == "png" and ext == ".png":
+        if mode == "png" and ext == ".png":
             packed = load_image(path)
             if packed is None:
                 continue
