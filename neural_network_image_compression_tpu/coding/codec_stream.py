@@ -19,6 +19,12 @@ from neural_network_image_compression_tpu.coding.container import (
 )
 
 
+def _lane_checksum(sym) -> int:
+    from neural_network_image_compression_tpu.coding.lane import checksum_u32
+
+    return int(checksum_u32(np.ascontiguousarray(sym)))
+
+
 def jitted_codec_fns(codec):
     """Per-codec cached jitted (encode, decode) callables.
 
@@ -1023,7 +1029,14 @@ def compress_symbols(codec, params, sym: np.ndarray,
         # platform numeric drift must fail loudly instead of silently
         # corrupting the image (the det path makes drift impossible by
         # construction — coding/detnet.py — and keeps the CRC as backstop).
-        sym_crc=zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1,
+        # 'lane' containers use the order-independent on-chip checksum
+        # (lane.checksum_u32) so the fused batch path never has to fetch
+        # the symbol grid just to hash it.
+        sym_crc=(
+            _lane_checksum(sym)
+            if (kind == "rans" and engine == "lane")
+            else zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        ),
     )
     blob = pack_container(header, streams)
     if password is not None:
@@ -1148,7 +1161,10 @@ def decompress_symbols(codec, params, data: bytes, tables=None,
     if header.sym_crc:
         import zlib
 
-        got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        if header.coder == "lane":
+            got = _lane_checksum(sym)
+        else:
+            got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
         if got != header.sym_crc:
             raise ValueError(
                 "latent symbol checksum mismatch: the decoder reproduced "

@@ -54,23 +54,23 @@ def pick_lanes(n: int) -> int:
 # --------------------------------------------------------------- jnp encoder
 
 
-def lane_scan(sym2, rows2, active, cdf_flat, lp1: int, precision: int):
-    """The traceable on-chip encode core: (sym2 [m,K] i32, rows2 [m,K] i32,
-    active [m,K] bool, cdf_flat [R*(L+1)] u32) -> (states [K] u32,
-    words [m,K] u16, emit [m,K] bool). Call inside any jit (the fused
-    serving path vmaps it over a batch); :func:`encode_lanes` wraps it in a
-    standalone cached jit."""
+def lane_scan_sf(start2, freq2, active, precision: int):
+    """The traceable on-chip encode core over PRE-GATHERED coding params:
+    (start2 [m,K] u32, freq2 [m,K] u32, active [m,K] bool) ->
+    (states [K] u32, words [m,K] u16, emit [m,K] bool).
+
+    The scan body is pure u32 vector arithmetic — the per-symbol CDF
+    lookups happen OUTSIDE the scan: XLA:TPU lowers an in-loop gather from
+    a multi-row table catastrophically (measured 1.06 s vs 55 ms for 18.8M
+    lookups done as a one-hot contraction — see onchip._start_freq)."""
     import jax
     import jax.numpy as jnp
 
     shift = 32 - precision
-    k = sym2.shape[1]
+    k = start2.shape[1]
 
     def step(states, xs):
-        s, row, act = xs
-        base = row * lp1 + s
-        start = jnp.take(cdf_flat, base)
-        freq = jnp.take(cdf_flat, base + 1) - start
+        start, freq, act = xs
         freq = jnp.where(act, freq, jnp.uint32(1))
         # renorm test (x >= freq << shift) without u32 overflow:
         # floor(x / 2^shift) >= freq  <=>  x >= freq * 2^shift
@@ -85,9 +85,54 @@ def lane_scan(sym2, rows2, active, cdf_flat, lp1: int, precision: int):
 
     init = jnp.full((k,), jnp.uint32(_LOWER))
     states, (words, emits) = jax.lax.scan(
-        step, init, (sym2, rows2, active), reverse=True
+        step, init, (start2, freq2, active), reverse=True
     )
     return states, words, emits
+
+
+def lane_scan(sym2, rows2, active, cdf_flat, lp1: int, precision: int):
+    """Symbol-level wrapper of :func:`lane_scan_sf`: one hoisted
+    jnp.take per grid (fine on CPU and for standalone streams; the fused
+    TPU path uses the one-hot contraction in coding/onchip.py instead)."""
+    import jax.numpy as jnp
+
+    base = rows2 * lp1 + sym2
+    start2 = jnp.take(cdf_flat, base)
+    freq2 = jnp.take(cdf_flat, base + 1) - start2
+    return lane_scan_sf(start2, freq2, active, precision)
+
+
+def checksum_u32(sym) -> "int | jnp-scalar":
+    """Order-independent Fletcher-style integrity checksum of a symbol
+    array, identical under numpy (host) and jnp (device) evaluation:
+    s1 = sum(v) mod 2^32, s2 = sum((n-i)*v_i) mod 2^32 (both pure wrapping
+    u32 reductions — no accumulation-order sensitivity, unlike a float or a
+    serial CRC), combined as s1 + 0x9E3779B1*s2, forced nonzero.
+
+    'lane' containers carry THIS in the sym_crc header field instead of
+    zlib CRC-32: CRC's byte-serial state chain cannot be evaluated on-chip,
+    and fetching the full symbol batch to the host just to hash it was
+    ~30% of fused-batch compress wall time (runs_r5/serving_breakdown)."""
+    import numpy as _np
+
+    flat = sym.reshape(-1)
+    if isinstance(flat, _np.ndarray):
+        v = flat.astype(_np.uint32)
+        n = v.size
+        s1 = int(_np.sum(v, dtype=_np.uint32))
+        w = _np.arange(n, 0, -1, dtype=_np.uint32)
+        s2 = int(_np.sum(w * v, dtype=_np.uint32))
+        chk = (s1 + 0x9E3779B1 * s2) & 0xFFFFFFFF  # exact ints, then wrap
+        return chk or 1
+    import jax.numpy as jnp
+
+    v = flat.astype(jnp.uint32)
+    n = v.shape[0]
+    s1 = jnp.sum(v, dtype=jnp.uint32)
+    w = jnp.arange(n, 0, -1, dtype=jnp.uint32)
+    s2 = jnp.sum(w * v, dtype=jnp.uint32)
+    chk = s1 + jnp.uint32(0x9E3779B1) * s2
+    return jnp.where(chk == 0, jnp.uint32(1), chk)
 
 
 def pack_words(words, emit):

@@ -57,12 +57,45 @@ def _anchor_indices(h: int, w: int):
     return (ai, aj), (ni, nj)
 
 
+def _start_freq(sym, rows, table, chunk: int = 8):
+    """Pre-gather the per-symbol coding params (start, freq) as one-hot
+    contractions: sym/rows [G, n] i32, table [R, L+1] u32 -> u32 [G, n].
+
+    XLA:TPU's native gather from a multi-row CDF table is pathologically
+    slow (measured 1.06 s vs 55 ms for the same 18.8M lookups done this
+    way); the one-hot products are exact — every term is 0 or an integer
+    <= 2^16, and exactly one term per output is nonzero, so the f32
+    accumulation cannot round."""
+    import jax.numpy as jnp
+    from jax.lax import Precision
+
+    levels = table.shape[1] - 1
+    n_rows = table.shape[0]
+    t_a = table[:, :levels].astype(jnp.float32)
+    t_b = table[:, 1:].astype(jnp.float32)
+    outs_s, outs_f = [], []
+    for lo in range(0, sym.shape[0], chunk):
+        s = sym[lo : lo + chunk]
+        r = rows[lo : lo + chunk]
+        o_s = (s[..., None] == jnp.arange(levels)).astype(jnp.float32)
+        o_r = (r[..., None] == jnp.arange(n_rows)).astype(jnp.float32)
+        a = jnp.einsum("gns,rs->gnr", o_s, t_a, precision=Precision.HIGHEST)
+        b = jnp.einsum("gns,rs->gnr", o_s, t_b, precision=Precision.HIGHEST)
+        st = (a * o_r).sum(-1)
+        nx = (b * o_r).sum(-1)
+        outs_s.append(st.astype(jnp.uint32))
+        outs_f.append((nx - st).astype(jnp.uint32))
+    return jnp.concatenate(outs_s), jnp.concatenate(outs_f)
+
+
 def _fused_lane_fn(codec, n: int, lat_hw: tuple[int, int]):
     """Cached jitted lane-scan program for a fixed (batch, latent grid):
-    runs every stream's rANS scan on-chip. Inputs are the quantized symbol
-    batch (and, with the checkerboard context, the on-device mu/idx grids);
-    model passes happen in the shared jitted encode / _ctx_fn programs so
-    the bytes stay bit-compatible with single-image decode."""
+    runs EVERY stream of every image in ONE vmapped scan over pre-gathered
+    (start, freq) grids. Model passes happen in the shared jitted encode /
+    _ctx_fn programs so the bytes stay bit-compatible with single-image
+    decode; streams whose native lane count k_s is below the merged K run
+    in the first k_s lanes with the rest masked (lanes are independent, so
+    bytes equal a solo encode at k_s — gated by test_onchip)."""
     cache = getattr(codec, "_onchip_lane_fns", None)
     if cache is None:
         cache = codec._onchip_lane_fns = {}
@@ -77,98 +110,124 @@ def _fused_lane_fn(codec, n: int, lat_hw: tuple[int, int]):
     cch = codec.latent_channels
     levels = codec.levels
     precision = codec.cfg.entropy.cdf_precision
-    lp1 = levels + 1
     ctx = codec.context_y is not None
     h_lat, w_lat = lat_hw
 
     if ctx:
         (ai, aj), (ni, nj) = _anchor_indices(h_lat, w_lat)
-        n_anchor, n_non = ai.size, ni.size
-        k_a = lane.pick_lanes(n_anchor * cch)
-        k_c = lane.pick_lanes(n_non * cch)
-        m_a = -(-n_anchor * cch // k_a)
-        m_c = -(-n_non * cch // k_c)
-        act_a = (np.arange(m_a * k_a) < n_anchor * cch).reshape(m_a, k_a)
-        act_c = (np.arange(m_c * k_c) < n_non * cch).reshape(m_c, k_c)
-        # anchor rows: per plane p, channel pattern offset into [cdf_y;cdf_c]
-        rows_a = np.stack(
-            [
-                _pad_grid(_plane_rows(cch, n_anchor * cch, 0), m_a, k_a),
-                _pad_grid(_plane_rows(cch, n_anchor * cch, cch), m_a, k_a),
-                _pad_grid(_plane_rows(cch, n_anchor * cch, cch), m_a, k_a),
-            ]
-        )  # [3, m_a, k_a]
+        n_a, n_c = ai.size * cch, ni.size * cch
+        k_a = lane.pick_lanes(n_a)
+        k_c = lane.pick_lanes(n_c)
+        kk = max(k_a, k_c)
+        m_a = -(-n_a // k_a)
+        m_c = -(-n_c // k_c)
+        mm = max(m_a, m_c)
+        act_a = _pad_envelope(
+            (np.arange(m_a * k_a) < n_a).reshape(m_a, k_a), mm, kk
+        )
+        act_c = _pad_envelope(
+            (np.arange(m_c * k_c) < n_c).reshape(m_c, k_c), mm, kk
+        )
+        # anchor CDF rows: the channel pattern, offset into [cdf_y; cdf_c]
+        rows_anchor = np.stack([
+            _plane_rows(cch, n_a, 0),
+            _plane_rows(cch, n_a, cch),
+            _plane_rows(cch, n_a, cch),
+        ])  # [3, n_a]
+        act_stack = np.stack([act_a, act_c] * 3)  # a0,c0,a1,c1,a2,c2
 
-        def fused(sym, cdf_yc_flat, scale_cdf_flat, mu, idx):
+        def fused(sym, cdf_yc_flat2d, scale_cdf2d, mu, idx):
             s32 = sym.astype(jnp.int32)
-            outs_a, outs_c = [], []
+            a_syms, w_syms, i_rows = [], [], []
             for p in range(3):
                 plane = s32[..., p * cch : (p + 1) * cch]
-                a_flat = plane[:, ai, aj, :].reshape(n, n_anchor * cch)
-                a2 = _grid_j(a_flat, m_a, k_a)
-                st, pk, ct = jax.vmap(
-                    lambda s: _scan_pack(
-                        s, jnp.asarray(rows_a[p]), jnp.asarray(act_a),
-                        cdf_yc_flat, lp1, precision,
-                    )
-                )(a2)
-                outs_a.append((st, pk, ct))
-                mu_p = mu[..., p * cch : (p + 1) * cch]
-                idx_p = idx[..., p * cch : (p + 1) * cch]
-                nn = plane[:, ni, nj, :].reshape(n, n_non * cch)
-                mu_f = mu_p[:, ni, nj, :].reshape(n, n_non * cch)
-                wsym = jnp.mod(nn - mu_f + levels // 2, levels)
-                idx_f = idx_p[:, ni, nj, :].reshape(n, n_non * cch)
-                w2 = _grid_j(wsym, m_c, k_c)
-                r2 = _grid_j(idx_f, m_c, k_c)
-                st, pk, ct = jax.vmap(
-                    lambda s, r: _scan_pack(
-                        s, r, jnp.asarray(act_c), scale_cdf_flat, lp1,
-                        precision,
-                    )
-                )(w2, r2)
-                outs_c.append((st, pk, ct))
-            return outs_a, outs_c
+                a_syms.append(plane[:, ai, aj, :].reshape(n, n_a))
+                mu_f = mu[..., p * cch : (p + 1) * cch][:, ni, nj, :].reshape(n, n_c)
+                nn = plane[:, ni, nj, :].reshape(n, n_c)
+                w_syms.append(jnp.mod(nn - mu_f + levels // 2, levels))
+                i_rows.append(
+                    idx[..., p * cch : (p + 1) * cch][:, ni, nj, :].reshape(n, n_c)
+                )
+            a_sym = jnp.concatenate(a_syms)          # [3N, n_a] plane-major
+            a_row = jnp.concatenate([
+                jnp.broadcast_to(jnp.asarray(rows_anchor[p]), (n, n_a))
+                for p in range(3)
+            ])
+            c_sym = jnp.concatenate(w_syms)          # [3N, n_c]
+            c_row = jnp.concatenate(i_rows)
+            sa, fa = _start_freq(a_sym, a_row, cdf_yc_flat2d)
+            sc, fc = _start_freq(c_sym, c_row, scale_cdf2d)
 
-        fn = jax.jit(fused)
+            def env(v, m_s, k_s):
+                g = _grid_j(v, m_s, k_s)
+                return jnp.pad(g, ((0, 0), (0, mm - m_s), (0, kk - k_s)))
+
+            # [3N, mm, kk] each -> interleave to image-major [N,3,2,...]
+            def interleave(av, cv):
+                a3 = av.reshape(3, n, mm, kk).transpose(1, 0, 2, 3)
+                c3 = cv.reshape(3, n, mm, kk).transpose(1, 0, 2, 3)
+                return jnp.stack([a3, c3], axis=2).reshape(6 * n, mm, kk)
+
+            start_items = interleave(env(sa, m_a, k_a), env(sc, m_c, k_c))
+            freq_items = interleave(env(fa, m_a, k_a), env(fc, m_c, k_c))
+            act_items = jnp.broadcast_to(
+                jnp.asarray(act_stack)[None], (n, 6, mm, kk)
+            ).reshape(6 * n, mm, kk)
+            st, pk, ct = jax.vmap(
+                lambda s, f, a: _scan_pack_sf(s, f, a, precision)
+            )(start_items, freq_items, act_items)
+            chks = jax.vmap(lane.checksum_u32)(sym)
+            return (st, pk, ct), chks
+
+        fn = jax.jit(fused), (k_a, k_c), 6
     else:
         n_sym = h_lat * w_lat * cch
         k_p = lane.pick_lanes(n_sym)
         m_p = -(-n_sym // k_p)
         act_p = (np.arange(m_p * k_p) < n_sym).reshape(m_p, k_p)
-        rows_p = np.stack(
-            [
-                _pad_grid(_plane_rows(cch, n_sym, 0), m_p, k_p),
-                _pad_grid(_plane_rows(cch, n_sym, cch), m_p, k_p),
-                _pad_grid(_plane_rows(cch, n_sym, cch), m_p, k_p),
-            ]
-        )
+        rows_plane = np.stack([
+            _plane_rows(cch, n_sym, 0),
+            _plane_rows(cch, n_sym, cch),
+            _plane_rows(cch, n_sym, cch),
+        ])
 
-        def fused(sym, cdf_yc_flat):
+        def fused(sym, cdf_yc2d):
             s32 = sym.astype(jnp.int32)
-            outs = []
-            for p in range(3):
-                plane = s32[..., p * cch : (p + 1) * cch].reshape(n, n_sym)
-                p2 = _grid_j(plane, m_p, k_p)
-                st, pk, ct = jax.vmap(
-                    lambda s: _scan_pack(
-                        s, jnp.asarray(rows_p[p]), jnp.asarray(act_p),
-                        cdf_yc_flat, lp1, precision,
-                    )
-                )(p2)
-                outs.append((st, pk, ct))
-            return outs
+            p_sym = jnp.concatenate([
+                s32[..., p * cch : (p + 1) * cch].reshape(n, n_sym)
+                for p in range(3)
+            ])  # [3N, n_sym] plane-major
+            p_row = jnp.concatenate([
+                jnp.broadcast_to(jnp.asarray(rows_plane[p]), (n, n_sym))
+                for p in range(3)
+            ])
+            sp, fp = _start_freq(p_sym, p_row, cdf_yc2d)
+            # plane-major [3N] -> image-major [N, 3]
+            sp = _grid_j(sp, m_p, k_p).reshape(3, n, m_p, k_p).transpose(1, 0, 2, 3).reshape(3 * n, m_p, k_p)
+            fp = _grid_j(fp, m_p, k_p).reshape(3, n, m_p, k_p).transpose(1, 0, 2, 3).reshape(3 * n, m_p, k_p)
+            act_items = jnp.broadcast_to(
+                jnp.asarray(act_p)[None, None], (n, 3, m_p, k_p)
+            ).reshape(3 * n, m_p, k_p)
+            st, pk, ct = jax.vmap(
+                lambda s, f, a: _scan_pack_sf(s, f, a, precision)
+            )(sp, fp, act_items)
+            chks = jax.vmap(lane.checksum_u32)(sym)
+            return (st, pk, ct), chks
 
-        fn = jax.jit(fused)
+        fn = jax.jit(fused), (k_p,), 3
     cache[key] = fn
     return fn
 
 
-def _scan_pack(sym2, rows2, active, cdf_flat, lp1, precision):
-    """lane_scan + on-chip word compaction: returns (states [K] u32,
-    packed [m*K] u16, count i32) — only the [:count] prefix (plus states)
-    ever crosses to the host."""
-    st, wd, em = lane.lane_scan(sym2, rows2, active, cdf_flat, lp1, precision)
+def _pad_envelope(grid: np.ndarray, mm: int, kk: int) -> np.ndarray:
+    out = np.zeros((mm, kk), grid.dtype)
+    out[: grid.shape[0], : grid.shape[1]] = grid
+    return out
+
+
+def _scan_pack_sf(start2, freq2, active, precision):
+    """lane_scan_sf + on-chip word compaction."""
+    st, wd, em = lane.lane_scan_sf(start2, freq2, active, precision)
     pk, ct = lane.pack_words(wd, em)
     return st, pk, ct
 
@@ -186,14 +245,17 @@ def _fetch_packed(out) -> tuple:
     return np.asarray(st_d), packed, counts
 
 
-def _stream_bytes(fetched: tuple, i: int) -> bytes:
-    """Assemble one image's lane stream from the fetched packed triple."""
+def _stream_bytes(fetched: tuple, item: int, k_s: int | None = None) -> bytes:
+    """Assemble one stream's bytes from the fetched packed triple.
+    ``k_s``: the stream's NATIVE lane count when it ran lane-padded inside
+    a merged envelope — only the first k_s states are real (padded lanes
+    never advance and never emit, so the packed words need no slicing)."""
     states, packed, counts = fetched
-    k = states.shape[1]
+    k = k_s if k_s is not None else states.shape[1]
     return (
         int(k).to_bytes(2, "little")
-        + states[i].astype("<u4").tobytes()
-        + packed[i, : counts[i]].astype("<u2").tobytes()
+        + states[item, :k].astype("<u4").tobytes()
+        + packed[item, : counts[item]].astype("<u2").tobytes()
     )
 
 
@@ -259,8 +321,7 @@ def compress_batch(codec, params, imgs: np.ndarray, tables=None,
     enc_jit, _ = cs.jitted_codec_fns(codec)
     imgs_d = jnp.asarray(imgs)
     sym_d = enc_jit(params, imgs_d)
-    cdf_dev = jnp.asarray(cdf_yc.reshape(-1))
-    fn = _fused_lane_fn(codec, n, tuple(sym_d.shape[1:3]))
+    fn, stream_ks, n_streams = _fused_lane_fn(codec, n, tuple(sym_d.shape[1:3]))
 
     if ctx:
         _, scale_cdfs = cs._codec_scale_tables(codec)
@@ -276,29 +337,28 @@ def compress_batch(codec, params, imgs: np.ndarray, tables=None,
             idx_list.append(idx_i)
         mu = jnp.stack(mu_list)
         idx = jnp.stack(idx_list)
-        outs_a, outs_c = fn(
-            sym_d, cdf_dev,
-            jnp.asarray(np.ascontiguousarray(scale_cdfs, np.uint32).reshape(-1)),
+        outs, chks_d = fn(
+            sym_d, jnp.asarray(cdf_yc),
+            jnp.asarray(np.ascontiguousarray(scale_cdfs, np.uint32)),
             mu, idx,
         )
-        sym = np.asarray(sym_d)
-        outs_a = [_fetch_packed(o) for o in outs_a]
-        outs_c = [_fetch_packed(o) for o in outs_c]
     else:
-        outs = fn(sym_d, cdf_dev)
-        sym = np.asarray(sym_d)
-        outs = [_fetch_packed(o) for o in outs]
+        outs, chks_d = fn(sym_d, jnp.asarray(cdf_yc))
+    fetched = _fetch_packed(outs)  # one fetch for ALL streams of the batch
+    # integrity checksums computed ON device (lane.checksum_u32) — the
+    # symbol batch itself never crosses to the host (it was ~30% of
+    # compress wall through the tunnel, runs_r5/serving_breakdown).
+    chks = np.asarray(chks_d)
+    lat_h, lat_w = int(sym_d.shape[1]), int(sym_d.shape[2])
 
     blobs = []
     eng = "lane"
     for i in range(n):
         streams = []
-        for p in range(3):
-            if ctx:
-                streams.append(_stream_bytes(outs_a[p], i))
-                streams.append(_stream_bytes(outs_c[p], i))
-            else:
-                streams.append(_stream_bytes(outs[p], i))
+        for j in range(n_streams):
+            # item order is image-major: stream j of image i
+            k_s = stream_ks[j % len(stream_ks)]
+            streams.append(_stream_bytes(fetched, i * n_streams + j, k_s))
         header = ContainerHeader(
             model_id=codec.cfg.codec.model_id,
             colorspace=codec.colorspace.name,
@@ -306,13 +366,13 @@ def compress_batch(codec, params, imgs: np.ndarray, tables=None,
             latent_channels=cch,
             orig_h=h,
             orig_w=w,
-            lat_h=sym.shape[1],
-            lat_w=sym.shape[2],
+            lat_h=lat_h,
+            lat_w=lat_w,
             n_planes=3,
             passes=2 if ctx else 1,
             kind="rans",
             coder=eng,
-            sym_crc=zlib.crc32(np.ascontiguousarray(sym[i]).tobytes()) or 1,
+            sym_crc=int(chks[i]),
         )
         blobs.append(pack_container(header, streams))
     return blobs

@@ -86,21 +86,22 @@ def main():
 
     t_ctx, ctx_outs = timed(run_ctx)
 
-    # lane: the fused program + packed fetch
+    # lane: the fused (merged-scan) program + packed fetch
     _, scale_cdfs = cs._codec_scale_tables(codec)
     cdf_yc = np.concatenate([tables[0], tables[1]], axis=0)
-    fn = onchip._fused_lane_fn(codec, n, tuple(sym_d.shape[1:3]))
+    fn, stream_ks, n_streams = onchip._fused_lane_fn(
+        codec, n, tuple(sym_d.shape[1:3])
+    )
     mu = jnp.stack([o[0] for o in ctx_outs])
     idx = jnp.stack([o[1] for o in ctx_outs])
-    cdf_dev = jnp.asarray(cdf_yc.reshape(-1))
-    sc_dev = jnp.asarray(np.ascontiguousarray(scale_cdfs, np.uint32).reshape(-1))
+    cdf_yc_d = jnp.asarray(cdf_yc)
+    sc_d = jnp.asarray(np.ascontiguousarray(scale_cdfs, np.uint32))
 
     def run_lane():
-        outs_a, outs_c = fn(sym_d, cdf_dev, sc_dev, mu, idx)
-        return (
-            [onchip._fetch_packed(o) for o in outs_a],
-            [onchip._fetch_packed(o) for o in outs_c],
-        )
+        outs, chks = fn(sym_d, cdf_yc_d, sc_d, mu, idx)
+        f = onchip._fetch_packed(outs)
+        np.asarray(chks)
+        return f
 
     t_lane, _ = timed(run_lane)
 

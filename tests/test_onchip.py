@@ -99,3 +99,21 @@ def test_mixed_engine_decode(rng):
     blob_64 = compress_image(codec64, params, img, tables=tables)
     out = decompress_batch(codec, params, [blob_lane, blob_64], tables=tables)
     np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_batch_odd_latent_grid_matches_per_image(rng):
+    """Odd latent grids give unequal anchor/non-anchor stream lengths, so
+    the merged-scan envelope actually pads (m_a != m_c) — bytes must still
+    equal the per-image path exactly."""
+    codec, params = _codec("checkerboard")
+    imgs = rng.integers(0, 256, (2, 72, 104, 3), dtype=np.uint8)  # lat 9x13
+    tables = build_tables(codec, params)
+    blobs = compress_batch(codec, params, imgs, tables=tables)
+    for i in range(2):
+        solo = compress_image(codec, params, imgs[i], tables=tables)
+        assert blobs[i] == solo
+    outs = decompress_batch(codec, params, blobs, tables=tables)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            outs[i], decompress_image(codec, params, blobs[i], tables=tables)
+        )
