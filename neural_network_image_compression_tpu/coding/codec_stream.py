@@ -152,8 +152,13 @@ def _device_mu_idx(codec, mean, scale):
     idx = jnp.minimum(
         jnp.searchsorted(st, scale.astype(jnp.float32), side="left"),
         st.shape[0] - 1,
-    ).astype(jnp.int32)
-    return mu, idx
+    )
+    # u8 outputs: mu < levels <= 256 and idx < scale_bins <= 256 — the
+    # decode side fetches these per image, and the tunnel's ~25 MB/s makes
+    # the fetch width the decompress wall (4x smaller than int32).
+    if codec.levels <= 256 and len(scale_table) <= 256:
+        return mu.astype(jnp.uint8), idx.astype(jnp.uint8)
+    return mu, idx.astype(jnp.int32)
 
 
 def _ctx_fn(codec):
