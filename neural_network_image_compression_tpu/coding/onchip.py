@@ -23,7 +23,6 @@ take the general per-image path.
 from __future__ import annotations
 
 import functools
-import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
