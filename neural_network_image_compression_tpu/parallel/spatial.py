@@ -386,6 +386,20 @@ def _decode_tile_streams(codec, tile_streams: list[bytes],
                          precision, engine=engine)
 
 
+def _sym_checksum(sym: np.ndarray, engine: str) -> int:
+    """Per-coder integrity checksum, matching codec_stream's convention:
+    'lane' containers carry the order-independent on-chip checksum
+    (coding/lane.checksum_u32), everything else zlib CRC-32 — so a 1-tile
+    container is verifiable by either the tiled or the plain decoder."""
+    import zlib
+
+    if engine == "lane":
+        from neural_network_image_compression_tpu.coding.lane import checksum_u32
+
+        return int(checksum_u32(np.ascontiguousarray(sym)))
+    return zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+
+
 def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
                          tables=None) -> bytes:
     """Tile-parallel compress of one large image -> one container with
@@ -483,7 +497,7 @@ def compress_image_tiled(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
         passes=per,
         adaptive=adaptive,
         coder=engine,
-        sym_crc=zlib.crc32(np.ascontiguousarray(sym[:, :lat_w]).tobytes()) or 1,
+        sym_crc=_sym_checksum(sym[:, :lat_w], engine),
     )
     return pack_container(header, streams)
 
@@ -543,9 +557,7 @@ def decompress_image_tiled(codec, params, data: bytes, mesh: Mesh,
             )
     sym = np.concatenate(tiles, axis=1)
     if header.sym_crc:
-        import zlib
-
-        got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        got = _sym_checksum(sym, header.coder)
         if got != header.sym_crc:
             raise ValueError("latent symbol checksum mismatch in tiled decode")
     sym = np.pad(sym, ((0, 0), (0, padded_lat_w - lat_w), (0, 0)))
@@ -632,9 +644,7 @@ def compress_image_tiled_2d(codec, params, rgb_u8: np.ndarray, mesh: Mesh,
         passes=per,
         adaptive=adaptive,
         coder=engine,
-        sym_crc=zlib.crc32(
-            np.ascontiguousarray(sym[:lat_h, :lat_w]).tobytes()
-        ) or 1,
+        sym_crc=_sym_checksum(sym[:lat_h, :lat_w], engine),
     )
     return pack_container(header, streams)
 
@@ -679,9 +689,7 @@ def decompress_image_tiled_2d(codec, params, data: bytes, mesh: Mesh,
             rows.append(np.concatenate(row, axis=1))
     sym = np.concatenate(rows, axis=0)
     if header.sym_crc:
-        import zlib
-
-        got = zlib.crc32(np.ascontiguousarray(sym).tobytes()) or 1
+        got = _sym_checksum(sym, header.coder)
         if got != header.sym_crc:
             raise ValueError("latent symbol checksum mismatch in tiled decode")
     mesh_h, mesh_w = mesh.shape["sph"], mesh.shape["spw"]

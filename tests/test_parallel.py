@@ -291,3 +291,27 @@ def test_tile_grid_header_convention():
     assert tile_grid((2 << 8) | 4) == (2, 4)
     assert tile_count((3 << 8) | 5) == 15
     assert tile_grid(1) == (1, 1)
+
+
+def test_tiled_bitstream_lane_engine(codec_and_params, rng):
+    """The on-chip 'lane' engine composes with the spatial-tiled container
+    path: per-tile lane streams round-trip bit-exactly (the tile driver
+    routes through the same rans.stream_* dispatchers)."""
+    import dataclasses
+
+    codec0, params = codec_and_params
+    cfg = codec0.cfg.replace(
+        codec=dataclasses.replace(codec0.cfg.codec, coder="lane")
+    )
+    codec = NeuralCodec(cfg)
+    mesh = make_mesh(data=1, spatial=2)
+    rgb = rng.integers(0, 256, (48, 96, 3), dtype=np.uint8)
+    blob = compress_image_tiled(codec, params, rgb, mesh)
+    from neural_network_image_compression_tpu.coding.container import (
+        unpack_container,
+    )
+
+    hdr, _ = unpack_container(blob)
+    assert hdr.coder == "lane"
+    out = decompress_image_tiled(codec, params, blob, mesh)
+    assert out.shape == rgb.shape
